@@ -1,0 +1,108 @@
+"""Global configuration for canvas_tpu.
+
+Precision policy: the reference pipeline does all statistics in C# doubles.
+For bit-level parity testing we support float64 (enable_x64); for TPU
+throughput the default compute dtype is float32, which preserves call-level
+(EvaluateCNV-equal) behaviour on the demo data.  Hot kernels (Viterbi,
+binning) accumulate in float32; stats reductions that feed thresholds
+(medians, quartiles) run in float64 on host or on device when x64 is on.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def enable_x64() -> None:
+    """Turn on float64 support in JAX (parity mode; slower on TPU)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+@dataclass
+class CanvasConfig:
+    """Tunable constants shared across stages.
+
+    Mirrors the reference's JSON parameter files
+    (CanvasPartitionParameters.json, PedigreeCallerParameters.json,
+    SomaticCallerParameters.json, QualityScoreParameters.json); defaults are
+    the reference defaults.
+    """
+
+    # CanvasBin (reference CanvasBin/Program.cs): median observed reads/bin.
+    counts_per_bin: int = 100
+    # Coverage mode cap (TruncatedDynamicRange; CanvasBin.cs:618-625)
+    truncated_dynamic_range_cap: int = 10
+
+    # CanvasPartition (CanvasPartitionParameters.json)
+    max_inter_bin_dist_in_segment: int = 1000000
+    mad_factor: float = 2.0
+    cbs_alpha: float = 0.01
+    evenness_score_threshold: float = 94.5
+    evenness_score_window: int = 100000
+    threshold_lower_maf: float = 0.05
+
+    # HMM segmentation (HiddenMarkovModelsRunner.cs)
+    hmm_states: int = 5
+    hmm_self_transition: float = 0.99
+    hmm_min_bins_per_chromosome: int = 10
+
+    # Callers
+    diploid_max_copy_number: int = 10            # CanvasDiploidCaller.cs:15
+    diploid_coverage_weighting: float = 0.6      # CanvasDiploidCaller.cs:25
+    median_het_snps_distance: int = 463          # CanvasDiploidCaller.cs:28
+    quality_filter_threshold: int = 10           # CanvasDiploidCaller.cs:31
+    pedigree_max_copy_number: int = 5            # PedigreeCallerParameters.json
+    denovo_rate: float = 1e-5
+    denovo_quality_threshold: int = 20
+
+    # Q-score logistic coefficients (QualityScoreParameters.json)
+    qscore: dict = field(default_factory=lambda: dict(DEFAULT_QSCORE_PARAMS))
+
+
+# Reference QualityScoreParameters.json values.
+DEFAULT_QSCORE_PARAMS = {
+    "logistic_germline_intercept": -5.0123,
+    "logistic_germline_log_bin_count": 4.9801,
+    "logistic_germline_model_distance": -5.5472,
+    "logistic_germline_distance_ratio": -1.7914,
+    "logistic_intercept": -0.5143,
+    "logistic_log_bin_count": 0.8596,
+    "logistic_model_distance": -50.4366,
+    "logistic_distance_ratio": -0.6511,
+    "generalized_linear_fit_intercept": -3.65,
+    "generalized_linear_fit_log_bin_count": -1.12,
+    "generalized_linear_fit_model_distance": 3.89,
+    "generalized_linear_fit_major_chromosome_count": 0.47,
+    "generalized_linear_fit_maf_mean": -0.68,
+    "generalized_linear_fit_log_maf_cv": -0.25,
+}
+
+
+DEFAULT = CanvasConfig()
+
+
+def running_on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover - no devices at all
+        return False
+
+
+def default_device_count() -> int:
+    import jax
+
+    return jax.device_count()
+
+
+def cpu_mesh_env(n: int = 8) -> dict:
+    """Environment variables that simulate an n-device CPU mesh (for tests)."""
+    return {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}",
+    }

@@ -1,0 +1,211 @@
+"""Variable-width coverage binning — the CanvasBin compute stage.
+
+The reference walks every genome position sequentially, accumulating
+unique-35-mer ("possible") positions until `binSize` of them have been seen,
+then emits a bin (CanvasBin.cs:568-661 BinCountsForChromosome).  That loop is
+inherently parallel: the bin index of every position is a function of the
+*prefix count* of possible positions, so on TPU the whole stage becomes
+
+    pcum    = cumsum(possible)                      # one pass, XLA-fused
+    ends[k] = searchsorted(pcum, (k+1)*binSize)     # boundary positions
+    count   = diff-of-cumsum of capped observed hits at the boundaries
+    gc      = diff-of-cumsum of GC flags at the boundaries
+
+No sequential dependency, no dynamic shapes (bin count bounded by
+total_possible // binSize, known on host before trace).
+
+Semantics matched to the reference:
+  * leading lowercase-'n' skip (CanvasBin.cs:582-583);
+  * NucleotideCount counts EVERY position in a bin's span — the reference
+    compares a char against the string "n" (CanvasBin.cs:592), which is
+    always false, so 'n' bases are not excluded from the GC denominator;
+  * GC% = trunc(100f * gcCount / nucleotideCount) (CanvasBin.cs:638);
+  * TruncatedDynamicRange caps each possible position's hit count at 10
+    (CanvasBin.cs:618-625); GCContentWeighted divides by the per-read-GC
+    observed/expected ratio, caps at 10, and banker's-rounds the bin total
+    (CanvasBin.cs:626-636);
+  * the trailing partial bin is dropped;
+  * bin size = countsPerBin / median(autosome observed/possible rates)
+    (CanvasBin.cs:30-83; observed = positions with >=1 hit).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from canvas_tpu.ops import stats
+
+TRUNCATED_CAP = 10
+
+
+# ---------------------------------------------------------------------------
+# Bin-size estimation
+# ---------------------------------------------------------------------------
+
+def contig_rate(possible: np.ndarray, observed: np.ndarray) -> float:
+    """Observed/possible rate for one contig (CanvasBin.cs:55-60)."""
+    n_pos = int(np.count_nonzero(possible))
+    n_obs = int(np.count_nonzero(observed))
+    return n_obs / n_pos if n_pos else 0.0
+
+
+def bin_size_from_rates(counts_per_bin: int, rates: list[float]) -> int:
+    """binSize = int(countsPerBin / median(rates)) (CanvasBin.cs:79-83)."""
+    return int(counts_per_bin / stats.median(rates))
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) binning — exact reference semantics, used for parity tests.
+# ---------------------------------------------------------------------------
+
+def leading_n_offset(is_lower_n: np.ndarray) -> int:
+    """Index of the first position that is not a lowercase 'n'."""
+    nz = np.flatnonzero(~is_lower_n)
+    return int(nz[0]) if nz.size else len(is_lower_n)
+
+
+def bin_contig_np(
+    possible: np.ndarray,
+    observed: np.ndarray,
+    is_gc: np.ndarray,
+    bin_size: int,
+    offset: int = 0,
+    mode: str = "TruncatedDynamicRange",
+    gc_weights: np.ndarray | None = None,
+):
+    """Reference-parallel numpy binning.  Returns (start, end, gc, count)."""
+    L = len(possible)
+    possible = possible[offset:].astype(bool)
+    pcum = np.cumsum(possible, dtype=np.int64)
+    total = int(pcum[-1]) if len(pcum) else 0
+    n_bins = total // bin_size
+    if n_bins == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z.astype(np.int16), z.astype(np.float32)
+    targets = np.arange(1, n_bins + 1, dtype=np.int64) * bin_size
+    ends_rel = np.searchsorted(pcum, targets, side="left")  # boundary pos (rel)
+    ends = ends_rel + offset                                # inclusive boundary
+    starts = np.concatenate([[offset], ends[:-1] + 1])
+
+    gccum = np.concatenate([[0], np.cumsum(is_gc.astype(np.int64))])
+    gc_count = gccum[ends + 1] - gccum[starts]
+    nuc_count = (ends + 1) - starts
+    gc_pct = (np.float32(100.0) * gc_count.astype(np.float32)
+              / nuc_count.astype(np.float32)).astype(np.int16)
+
+    obs = observed.astype(np.float64)
+    if mode == "TruncatedDynamicRange":
+        vals = np.where(possible, np.minimum(obs[offset:], TRUNCATED_CAP), 0.0)
+    elif mode == "GCContentWeighted":
+        assert gc_weights is not None
+        vals = np.where(
+            possible, np.minimum(TRUNCATED_CAP, obs[offset:] / gc_weights[offset:]), 0.0)
+    else:  # Binary / Fragment: raw sum
+        vals = np.where(possible, obs[offset:], 0.0)
+    ocum = np.concatenate([[0.0], np.cumsum(vals)])
+    counts = ocum[ends_rel + 1] - ocum[np.concatenate([[0], ends_rel[:-1] + 1])]
+    if mode == "GCContentWeighted":
+        counts = np.round(counts)  # banker's rounding, matches C# Math.Round
+    return starts, ends + 1, gc_pct, counts.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Device (JAX) binning — jittable with a static max_bins bound.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("bin_size", "max_bins"))
+def bin_contig_device(
+    possible: jnp.ndarray,   # bool  [L]  (already zeroed before `offset`)
+    capped_obs: jnp.ndarray, # float32 [L] capped per-position hit values
+    is_gc: jnp.ndarray,      # bool  [L]
+    offset: jnp.ndarray,     # int32 scalar — leading-n skip
+    bin_size: int,
+    max_bins: int,
+):
+    """Device binning pass.  Returns (start, end, gc, count, valid) padded to
+    max_bins.  `capped_obs` must already be masked to possible positions and
+    capped per the coverage mode (host does the trivial elementwise prep, or
+    pass `where(possible, min(obs, 10), 0)` computed on device)."""
+    L = possible.shape[0]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    live = idx >= offset
+    p = jnp.where(live, possible, False)
+
+    pcum = jnp.cumsum(p.astype(jnp.int32))
+    total = pcum[-1]
+    n_bins = total // bin_size
+
+    k = jnp.arange(max_bins, dtype=jnp.int32)
+    valid = k < n_bins
+    targets = (k + 1) * bin_size
+    ends = jnp.searchsorted(pcum, targets, side="left").astype(jnp.int32)
+    ends = jnp.minimum(ends, L - 1)
+    starts = jnp.concatenate([offset[None].astype(jnp.int32), ends[:-1] + 1])
+
+    gccum = jnp.cumsum(is_gc.astype(jnp.int32))
+    gccum0 = jnp.concatenate([jnp.zeros(1, jnp.int32), gccum])
+    gc_count = gccum0[ends + 1] - gccum0[starts]
+    nuc = (ends + 1 - starts).astype(jnp.float32)
+    gc_pct = (jnp.float32(100.0) * gc_count.astype(jnp.float32) / nuc).astype(jnp.int32)
+
+    ocum = jnp.cumsum(jnp.where(p, capped_obs, 0.0), dtype=jnp.float32)
+    ocum0 = jnp.concatenate([jnp.zeros(1, jnp.float32), ocum])
+    counts = ocum0[ends + 1] - ocum0[starts]
+
+    zi = jnp.int32(0)
+    return (
+        jnp.where(valid, starts, zi),
+        jnp.where(valid, ends + 1, zi),
+        jnp.where(valid, gc_pct, zi),
+        jnp.where(valid, counts, 0.0),
+        valid,
+    )
+
+
+def bin_sample(
+    tracks: dict[str, dict],
+    bin_size: int,
+    mode: str = "TruncatedDynamicRange",
+    use_device: bool = True,
+):
+    """Bin all contigs of one sample.
+
+    `tracks[contig]` holds {"possible": bool[L], "observed": uint8[L],
+    "is_gc": bool[L], "offset": int}.  Returns dict contig -> (start, end,
+    gc, count) numpy arrays.
+    """
+    out = {}
+    for name, t in tracks.items():
+        if use_device:
+            possible = np.asarray(t["possible"], dtype=bool)
+            obs = np.asarray(t["observed"], dtype=np.float32)
+            if mode == "TruncatedDynamicRange":
+                capped = np.minimum(obs, TRUNCATED_CAP)
+            elif mode == "GCContentWeighted":
+                capped = np.minimum(TRUNCATED_CAP, obs / t["gc_weights"])
+            else:
+                capped = obs
+            total = int(np.count_nonzero(possible[t["offset"]:]))
+            max_bins = max(total // bin_size, 1)
+            s, e, g, c, v = bin_contig_device(
+                jnp.asarray(possible), jnp.asarray(capped),
+                jnp.asarray(t["is_gc"], dtype=bool),
+                jnp.asarray(t["offset"], dtype=jnp.int32),
+                bin_size, max_bins)
+            v = np.asarray(v)
+            c = np.asarray(c)[v]
+            if mode == "GCContentWeighted":
+                c = np.round(c)
+            out[name] = (np.asarray(s)[v].astype(np.int64),
+                         np.asarray(e)[v].astype(np.int64),
+                         np.asarray(g)[v].astype(np.int16),
+                         c.astype(np.float32))
+        else:
+            out[name] = bin_contig_np(
+                t["possible"], t["observed"], t["is_gc"], bin_size,
+                t["offset"], mode, t.get("gc_weights"))
+    return out

@@ -1,0 +1,320 @@
+"""5-state negative-binomial HMM segmentation (CanvasPartition HMM modes).
+
+Reference semantics (CanvasPartition/HMM.cs, HiddenMarkovModelsRunner.cs,
+Distributions.cs):
+
+  * states = copy numbers 0..4; self-transition 0.99, off 0.0025 (HMM.cs:16);
+  * emissions: per-sample negative-binomial lookup tables with
+    mean = max(CN, 0.1) * haploidMean and a shared genome-wide variance
+    (HiddenMarkovModelsRunner.cs:111-152); haploidMean = median/2 (per-sample
+    mode uses genome-wide median and IQR^2 pseudo-variance);
+  * data clamped at max(haploidMean)*nStates before table build (:154-162);
+  * table indices are Convert.ToInt32 = round-half-even of the coverage;
+  * the multivariate "genotype permutation" emission takes the max over
+    assignments of each sample to state CN or diploid (Distributions.cs:
+    257-297), with states {0,1} and {3,4} sharing a per-factor max when
+    useAllStates=false;
+  * the baroque transition cost (Distributions.cs:298-320) algebraically
+    reduces to transition[prev][cur] in every reachable case (for i!=2,j!=2
+    it is min over non-2 genotype elements, which are all j; for i==2 it is
+    0.99 iff the genotype is all-diploid iff j==2) — so decode is a standard
+    time-varying-emission Viterbi.
+
+TPU design: Viterbi is a max-plus (tropical) matrix product chain, which is
+associative, so the whole decode runs as `jax.lax.associative_scan` over the
+time axis — O(log T) depth instead of the reference's O(T) sequential loop —
+followed by a parallel backpointer recomputation and a pointer-composition
+scan for the backtrack.  Lanes (contigs × samples) batch on the leading axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from itertools import permutations as _permutations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from canvas_tpu.ops import stats
+
+N_STATES = 5
+SELF_TRANSITION = 0.99
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial density tables (Distributions.cs:206-217)
+# ---------------------------------------------------------------------------
+
+def negative_binomial_table(mean, variance, max_value: int) -> np.ndarray:
+    """Density table [.., max_value] with the reference's exact formula.
+
+    Built on host in float64 (the tables are tiny — S x D x V entries — and
+    the reference computes them in C# doubles, so precision here must not
+    depend on the jax x64 flag)."""
+    from scipy.special import gammaln as np_gammaln, xlogy
+
+    mean = np.asarray(mean, dtype=np.float64)
+    var = np.maximum(np.asarray(variance, dtype=np.float64), mean * 1.2)
+    r = np.maximum(mean, 0.1) ** 2 / (var - mean)
+    x = np.arange(max_value, dtype=np.float64)
+    mean_, r_ = mean[..., None], r[..., None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # xlogy keeps the x=0 term at 0 when mean==0 (0^0 = 1 in the
+        # reference's Math.Pow), instead of 0 * -inf = NaN
+        logp = (
+            -r_ * np.log1p(mean_ / r_)
+            + xlogy(x, mean_) - x * np.log(mean_ + r_)
+            + np_gammaln(r_ + x)
+            - np_gammaln(x + 1.0)
+            - np_gammaln(r_)
+        )
+        dens = np.exp(logp)
+    return np.where(np.isfinite(dens), dens, 0.0)
+
+
+def genotype_combinations(n_dim: int, state: int) -> list[tuple[int, ...]]:
+    """DistributionUtilities.GetGenotypeCombinations (Distributions.cs:187-204):
+    distinct permutations of (state × (n-k), 2 × k) for k in 0..n-1."""
+    combos: list[tuple[int, ...]] = []
+    seen = set()
+    for k in range(n_dim):
+        base = (state,) * (n_dim - k) + (2,) * k
+        for p in sorted(set(_permutations(base))):
+            if p not in seen:
+                seen.add(p)
+                combos.append(p)
+    return combos
+
+
+def build_emission_tables(
+    coverage: np.ndarray,      # [T, D] per-bin coverage for D samples
+    n_states: int = N_STATES,
+    medians: np.ndarray | None = None,
+    pseudo_variances: np.ndarray | None = None,
+):
+    """Initialize NB tables (HiddenMarkovModelsRunner.cs:111-152).
+
+    Returns (tables [S, D, V], haploid_means [D], clamped coverage [T, D]).
+    When `medians`/`pseudo_variances` are given (per-sample mode) they are the
+    genome-wide median and IQR^2; otherwise the per-chromosome median and
+    sample variance are used (joint HMM mode).
+    """
+    cov = np.asarray(coverage, dtype=np.float64)
+    T, D = cov.shape
+    haploid = np.empty(D)
+    var = np.empty(D)
+    for d in range(D):
+        med = max(1.0, stats.median(cov[:, d]))
+        if medians is None:
+            haploid[d] = med / 2.0
+            var[d] = stats.variance(cov[:, d])
+        else:
+            haploid[d] = medians[d] / 2.0
+            var[d] = pseudo_variances[d]
+    max_threshold = haploid.max() * n_states
+    cov = np.minimum(cov, max_threshold)
+    max_value = int(cov.max()) + 10
+    means = np.maximum(np.arange(n_states)[:, None], 0.1) * haploid[None, :]
+    tables = negative_binomial_table(
+        means, np.broadcast_to(var, means.shape), max_value)
+    return tables, haploid, cov
+
+
+def emission_log_probs(
+    coverage: jnp.ndarray,   # [B, T, D] (clamped)
+    tables,                  # [S, D, V] densities (host float64 ok)
+    mask: jnp.ndarray,       # [B, T]
+    use_all_states: bool = True,
+) -> jnp.ndarray:
+    """log max-over-genotype emission [B, T, S].
+
+    Factorizes over samples: log em(j) = max_g sum_d log f(g_d, d, x_d) with
+    g ranging over genotype_combinations(D, j).
+    """
+    S, D, V = tables.shape
+    # take logs in float64 on host to keep tiny densities representable
+    logt_np = np.where(np.asarray(tables) > 0,
+                       np.log(np.maximum(np.asarray(tables, np.float64), 1e-300)),
+                       NEG_INF)
+    idx = jnp.clip(jnp.rint(coverage).astype(jnp.int32), 0, V - 1)  # [B,T,D]
+    logt = jnp.asarray(logt_np, dtype=coverage.dtype)
+    if not use_all_states:
+        # joint-HMM grouped per-factor max (Distributions.cs:278-285)
+        grouped = logt.at[0].set(jnp.maximum(logt[0], logt[1]))
+        grouped = grouped.at[1].set(jnp.maximum(logt[0], logt[1]))
+        grouped = grouped.at[3].set(jnp.maximum(logt[3], logt[4]))
+        grouped = grouped.at[4].set(jnp.maximum(logt[3], logt[4]))
+        logt = grouped
+    # factor[b,t,d,s] = logt[s, d, idx[b,t,d]]
+    factor = jnp.take_along_axis(
+        logt[None, None],                       # [1,1,S,D,V]
+        idx[:, :, None, :, None],               # [B,T,1,D,1]
+        axis=-1,
+    )[..., 0]                                   # [B,T,S,D]
+
+    ems = []
+    for j in range(S):
+        combos = genotype_combinations(D, j)
+        geno = jnp.asarray(np.array(combos, dtype=np.int32))  # [G, D]
+        # sum over d of factor at state geno[g, d]
+        f = factor[:, :, geno, jnp.arange(D)]                 # [B,T,G,D]
+        ems.append(jnp.max(jnp.sum(f, axis=-1), axis=-1))     # [B,T]
+    em = jnp.stack(ems, axis=-1)                              # [B,T,S]
+    return jnp.where(mask[..., None], em, 0.0)
+
+
+def log_transition(n_states: int = N_STATES, self_p: float = SELF_TRANSITION):
+    off = (1.0 - self_p) / (n_states - 1)
+    t = np.full((n_states, n_states), off)
+    np.fill_diagonal(t, self_p)
+    return jnp.asarray(np.log(t), dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi decode — tropical associative scan
+# ---------------------------------------------------------------------------
+
+def _maxplus_combine(a, b):
+    """(max,+) matmul of step matrices: out[i,j] = max_k a[i,k] + b[k,j].
+
+    a is the earlier chunk.  Shapes [..., S, S]."""
+    return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+
+@partial(jax.jit, static_argnames=())
+def viterbi_decode(
+    log_em: jnp.ndarray,    # [B, T, S]
+    log_trans: jnp.ndarray, # [S, S]
+    log_init: jnp.ndarray,  # [S]
+    mask: jnp.ndarray,      # [B, T] bool; True = real bin
+) -> jnp.ndarray:
+    """Most-likely state path [B, T] (int32).
+
+    Masked steps use an identity (max,+) matrix so scores and backpointers
+    pass through unchanged; padded lanes decode to state 0 paths.
+    """
+    B, T, S = log_em.shape
+    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG_INF)
+
+    # Step matrices M_t[i,j] = log_trans[i,j] + log_em[t,j]  (t >= 1)
+    steps = log_trans[None, None] + log_em[:, :, None, :]     # [B,T,S,S]
+    steps = jnp.where(mask[..., None, None], steps, eye[None, None])
+    # fold the initial distribution + first emission into t=0's matrix:
+    init0 = (log_init + log_em[:, 0])[:, None, :]             # [B,1,S] -> rows equal
+    m0 = jnp.broadcast_to(init0[:, :, None, :], (B, 1, S, S))[:, 0]
+    steps = steps.at[:, 0].set(jnp.where(mask[:, 0, None, None], m0, eye))
+
+    # prefix[t] = M_0 (x) ... (x) M_t ;  score[t,j] = max_i prefix[t][i,j]
+    prefix = jax.lax.associative_scan(_maxplus_combine, steps, axis=1)
+    scores = jnp.max(prefix, axis=-2)                         # [B,T,S]
+
+    # Backpointers: bp[t,j] = argmax_i score[t-1,i] + trans[i,j]  (t>=1);
+    # the emission term is constant in i so it never affects the argmax.
+    bp = jnp.argmax(scores[:, :-1, :, None] + log_trans[None, None], axis=-2)
+    # masked steps: stay in place
+    stay = jnp.broadcast_to(jnp.arange(S)[None, None], bp.shape)
+    bp = jnp.where(mask[:, 1:, None], bp, stay).astype(jnp.int32)  # [B,T-1,S]
+
+    # Backtrack by pointer composition (associative): compose maps S->S
+    # from the end.  comp[t] = bp[t] o bp[t+1] o ... ; final state chosen at
+    # the last step, then state[t] = comp over (t..T-1) applied to it.
+    last_state = jnp.argmax(scores[:, -1], axis=-1).astype(jnp.int32)  # [B]
+
+    # With f_k = bp reversed in time (f_0 = pointers into step T-2), the
+    # state at time T-2-k is (f_k o ... o f_0)(last).  The prefix
+    # compositions are computed with one more associative scan, where
+    # combine(earlier, later)[x] = later[earlier[x]].
+    rev_bp = bp[:, ::-1]                                      # [B,T-1,S]
+    comp = jax.lax.associative_scan(
+        lambda a, b: jnp.take_along_axis(b, a, axis=-1), rev_bp, axis=1)
+    states_rev = jnp.take_along_axis(comp, last_state[:, None, None], axis=-1)[..., 0]
+    states = jnp.concatenate(
+        [states_rev[:, ::-1], last_state[:, None]], axis=1)   # [B,T]
+    return states.astype(jnp.int32)
+
+
+def viterbi_decode_scan(log_em, log_trans, log_init, mask):
+    """Sequential lax.scan Viterbi — semantics oracle for the tropical-scan
+    implementation (same outputs, O(T) depth)."""
+    B, T, S = log_em.shape
+
+    def step(score, inp):
+        em, m = inp                                    # [B,S], [B]
+        cand = score[:, :, None] + log_trans[None]     # [B,S,S]
+        best = jnp.max(cand, axis=1) + em
+        bp = jnp.argmax(cand, axis=1).astype(jnp.int32)
+        stay = jnp.broadcast_to(jnp.arange(S)[None], bp.shape)
+        new = jnp.where(m[:, None], best, score)
+        bp = jnp.where(m[:, None], bp, stay)
+        return new, bp
+
+    init = jnp.where(mask[:, 0, None], log_init[None] + log_em[:, 0],
+                     jnp.zeros((B, S)))
+    score, bps = jax.lax.scan(
+        step, init, (jnp.moveaxis(log_em[:, 1:], 1, 0), mask[:, 1:].T))
+    last = jnp.argmax(score, axis=-1).astype(jnp.int32)
+
+    def back(state, bp):
+        prev = jnp.take_along_axis(bp, state[:, None], axis=-1)[:, 0]
+        return prev, state
+
+    first, path = jax.lax.scan(back, last, bps, reverse=True)
+    return jnp.concatenate([first[:, None], jnp.moveaxis(path, 0, 1)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# High-level per-contig segmentation (HiddenMarkovModelsRunner.Run)
+# ---------------------------------------------------------------------------
+
+def breakpoints_from_path(path: np.ndarray) -> list[int]:
+    """Indices where the Viterbi state changes, 0-prefixed
+    (HiddenMarkovModelsRunner.cs:88-95)."""
+    bps = [0]
+    diff = np.flatnonzero(np.diff(path)) + 1
+    bps.extend(int(i) for i in diff)
+    return bps
+
+
+def segment_coverage(
+    coverage_by_contig: dict[str, np.ndarray],  # contig -> [T_c, D]
+    per_sample: bool = True,
+    n_states: int = N_STATES,
+    min_size: int = 10,
+) -> dict[str, list[int]]:
+    """Run the HMM over every contig; returns contig -> breakpoint indices.
+
+    per_sample=True mirrors PerSampleHMM (D==1, genome-wide median/IQR^2);
+    False mirrors the joint multi-sample HMM (per-contig stats, grouped
+    emission max).
+    """
+    if per_sample:
+        allcov = np.concatenate([c for c in coverage_by_contig.values()], axis=0)
+        D = allcov.shape[1]
+        medians = np.array([
+            stats.quartiles(allcov[:, d].astype(np.float32))[1] for d in range(D)])
+        iqrs = np.array([
+            (lambda q: q[2] - q[0])(stats.quartiles(allcov[:, d].astype(np.float32)))
+            for d in range(D)])
+        pseudo_vars = iqrs ** 2
+    else:
+        medians = pseudo_vars = None
+
+    log_trans = log_transition(n_states)
+    log_init = jnp.log(jnp.full((n_states,), 1.0 / n_states))
+    out: dict[str, list[int]] = {}
+    for name, cov in coverage_by_contig.items():
+        T = cov.shape[0]
+        if T <= min_size:
+            out[name] = [0]
+            continue
+        tables, _, clamped = build_emission_tables(
+            cov, n_states, medians, pseudo_vars)
+        x = jnp.asarray(clamped, jnp.float32)[None]           # [1,T,D]
+        mask = jnp.ones((1, T), dtype=bool)
+        log_em = emission_log_probs(x, tables, mask, use_all_states=per_sample)
+        path = np.asarray(viterbi_decode(log_em, log_trans, log_init, mask))[0]
+        out[name] = breakpoints_from_path(path)
+    return out

@@ -1,0 +1,105 @@
+"""Tumor/normal ratio normalization (CanvasNormalize).
+
+Reference generators build a control coverage track from normal samples:
+  * weighted average of controls, weights 1/median, normalized to sum 1
+    (WeightedAverageReferenceGenerator.cs:28-71);
+  * BestLR2 — the single control minimizing mean squared log2 ratio vs the
+    tumor (BestLR2ReferenceGenerator.cs:33-93);
+  * PCA — project the centered sample onto model axes and rescale by the
+    median ratio (PCAReferenceGenerator.cs:33-148).
+
+Ratio calculators:
+  * LSNorm: ratio * (refMedian / sampleMedian), skipping reference bins
+    with count < 1 (LSNormRatioCalculator.cs:21-49);
+  * Raw: plain ratio with [min, max] reference-count gates
+    (RawRatioCalculator.cs:23-48).
+
+Ratios become pseudo-counts: count = ratio * 40 * ploidy/2
+(CanvasNormalizeUtilities.cs:13-32, CanvasDiploidBinRatioFactor = 40).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from canvas_tpu.io.bins import BinSet
+from canvas_tpu.ops import stats
+
+DIPLOID_BIN_RATIO_FACTOR = 40.0
+
+
+def weighted_average_reference(controls: list[BinSet]) -> BinSet:
+    """Merge control samples into a reference track (weights 1/median)."""
+    if len(controls) == 1:
+        return controls[0]
+    weights = np.empty(len(controls))
+    for i, c in enumerate(controls):
+        med = stats.median(c.count)
+        weights[i] = 1.0 / med if med > 0 else 0.0
+    weights /= weights.sum()
+    counts = np.zeros(len(controls[0]), dtype=np.float64)
+    for w, c in zip(weights, controls):
+        counts += w * c.count.astype(np.float64)
+    return controls[0].with_count(counts.astype(np.float32))
+
+
+def best_lr2_reference(tumor: BinSet, controls: list[BinSet]) -> BinSet:
+    """Pick the control minimizing mean squared log2 ratio vs the tumor
+    (BestLR2ReferenceGenerator.cs:33-93)."""
+    best, best_lr2 = None, np.inf
+    t = tumor.count.astype(np.float64)
+    for c in controls:
+        r = c.count.astype(np.float64)
+        ok = (t > 0) & (r > 0)
+        if not ok.any():
+            continue
+        lr2 = np.mean(np.log2(t[ok] / r[ok]) ** 2)
+        if lr2 < best_lr2:
+            best_lr2, best = lr2, c
+    assert best is not None, "no usable control sample"
+    return best
+
+
+def pca_reference(tumor: BinSet, axes: np.ndarray, mu: np.ndarray) -> BinSet:
+    """Project the centered tumor counts onto PCA model axes
+    (PCAReferenceGenerator.cs:33-71): ref = mu + axes @ (axes^T (x - mu)),
+    then rescale so median(ref) matches median(x); negative entries floored
+    at 0."""
+    x = tumor.count.astype(np.float64)
+    centered = x - mu
+    proj = axes @ (axes.T @ centered)
+    ref = mu + proj
+    ref = np.maximum(ref, 0.0)
+    med_x, med_ref = stats.median(x), stats.median(ref[ref > 0])
+    if med_ref > 0:
+        ref = ref * (med_x / med_ref)
+    return tumor.with_count(ref.astype(np.float32))
+
+
+def lsnorm_ratios(sample: BinSet, reference: BinSet) -> BinSet:
+    """Library-size-normalized ratios, dropping reference bins < 1."""
+    s_med = stats.median(sample.count)
+    r_med = stats.median(reference.count)
+    factor = (r_med / s_med) if (s_med > 0 and r_med > 0) else 1.0
+    keep = reference.count >= 1
+    s = sample.select(keep)
+    r = reference.count[keep].astype(np.float64)
+    ratio = s.count.astype(np.float64) / r * factor
+    return s.with_count(ratio.astype(np.float32))
+
+
+def raw_ratios(sample: BinSet, reference: BinSet,
+               min_ref: float = 1.0, max_ref: float = np.inf) -> BinSet:
+    keep = (reference.count >= min_ref) & (reference.count <= max_ref)
+    s = sample.select(keep)
+    r = reference.count[keep].astype(np.float64)
+    ratio = s.count.astype(np.float64) / r
+    return s.with_count(ratio.astype(np.float32))
+
+
+def ratios_to_counts(ratios: BinSet, ploidy_of_bin: np.ndarray | None = None) -> BinSet:
+    """count = ratio * 40 * ploidy/2 (CanvasNormalizeUtilities.cs:23-32)."""
+    ploidy = np.full(len(ratios), 2.0) if ploidy_of_bin is None \
+        else np.asarray(ploidy_of_bin, dtype=np.float64)
+    counts = ratios.count.astype(np.float64) * DIPLOID_BIN_RATIO_FACTOR * ploidy / 2.0
+    return ratios.with_count(counts.astype(np.float32))

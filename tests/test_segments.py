@@ -1,0 +1,96 @@
+"""Segment derivation / splitting / post-processing semantics."""
+
+import numpy as np
+
+from canvas_tpu.ops import segments as seg
+
+
+def test_derive_segments_end_convention():
+    starts = np.arange(0, 2000, 100)
+    ends = starts + 100
+    spans = seg.derive_segments([0, 5, 12], 20, starts, ends)
+    # seg0: bins 0..4 -> but reference end bin = breakpoints[1]-1 = 4
+    assert spans[0] == seg.Span(0, 500)
+    assert spans[1] == seg.Span(500, 1200)
+    assert spans[2] == seg.Span(1200, 2000)
+
+
+def test_derive_segments_small_chromosome():
+    starts = np.arange(0, 500, 100)
+    ends = starts + 100
+    spans = seg.derive_segments([0, 2], 5, starts, ends)  # n_bins <= 10
+    assert spans == [seg.Span(0, 500)]
+
+
+def test_split_overlapping_segments():
+    a = [seg.Span(0, 100), seg.Span(100, 200)]
+    b = [seg.Span(0, 150), seg.Span(150, 200)]
+    out = seg.split_overlapping_segments([a, b])
+    assert out == [seg.Span(0, 100), seg.Span(100, 150), seg.Span(150, 200)]
+
+
+def test_split_single_sample_passthrough():
+    a = [seg.Span(0, 10)]
+    assert seg.split_overlapping_segments([a]) is a
+
+
+def test_overlap_common_regions():
+    bps = [0, 10, 50]
+    common = [(20, 30)]
+    out = seg.overlap_common_regions(bps, common)
+    # reference quirk (Segmentation.cs:207-216): a breakpoint past the last
+    # common interval is dropped because `index > length` never holds
+    assert out == [0, 10, 20, 30]
+    # breakpoint inside a common interval snaps to its boundaries
+    assert seg.overlap_common_regions([0, 25], [(20, 30)]) == [0, 20, 30]
+
+
+def test_post_process_new_segment_on_span_start():
+    bin_start = {"chr1": np.array([0, 100, 200, 300])}
+    bin_end = {"chr1": np.array([100, 200, 300, 400])}
+    got = seg.post_process_segments(
+        {"chr1": {0, 200}}, {}, bin_start, bin_end)
+    segs = got["chr1"]
+    assert [s.bin_indices for s in segs] == [[0, 1], [2, 3]]
+    assert [s.identifier for s in segs] == [0, 1]
+
+
+def test_post_process_forbidden_midpoint_break():
+    bin_start = {"chr1": np.array([0, 100, 5000, 5100])}
+    bin_end = {"chr1": np.array([100, 200, 5100, 5200])}
+    got = seg.post_process_segments(
+        {"chr1": {0}}, {}, bin_start, bin_end,
+        excluded_by_contig={"chr1": [(200, 5000)]},
+        max_inter_bin_dist=1_000_000)
+    segs = got["chr1"]
+    # midpoint 2600 falls in (200, 5100] -> new segment at bin 2
+    assert [s.bin_indices for s in segs] == [[0, 1], [2, 3]]
+
+
+def test_post_process_max_gap_break():
+    bin_start = {"chr1": np.array([0, 100, 2_000_000])}
+    bin_end = {"chr1": np.array([100, 200, 2_000_100])}
+    got = seg.post_process_segments(
+        {"chr1": {0}}, {}, bin_start, bin_end, max_inter_bin_dist=1000)
+    assert [s.bin_indices for s in got["chr1"]] == [[0, 1], [2]]
+
+
+def test_segment_numbering_across_contigs():
+    bin_start = {"chr1": np.array([0]), "chr2": np.array([0])}
+    bin_end = {"chr1": np.array([100]), "chr2": np.array([100])}
+    got = seg.post_process_segments(
+        {"chr1": {0}, "chr2": {0}}, {}, bin_start, bin_end)
+    assert got["chr1"][0].identifier == 0
+    assert got["chr2"][0].identifier == 1
+
+
+def test_partitioned_roundtrip(tmp_path):
+    bin_start = {"chr1": np.array([0, 100])}
+    bin_end = {"chr1": np.array([100, 200])}
+    cov = {"chr1": np.array([5.0, 7.0], dtype=np.float32)}
+    segs = seg.post_process_segments({"chr1": {0}}, {}, bin_start, bin_end)
+    p = tmp_path / "part.tsv.gz"
+    seg.write_partitioned(p, segs, bin_start, bin_end, cov)
+    back = seg.read_partitioned(p)
+    np.testing.assert_array_equal(back["chr1"][0], [0, 100])
+    np.testing.assert_array_equal(back["chr1"][3], [0, 0])
