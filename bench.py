@@ -1,0 +1,73 @@
+"""Benchmark: coverage bins segmented per second per chip (HMM path).
+
+Workload: a genome-scale batch of coverage lanes (24 contigs x 512k bins ~=
+12.6M bins, the bin count of a 60x WGS sample at ~250bp bins) pushed through
+the fused emission + tropical-scan Viterbi segmentation step on one chip.
+
+Baseline: the reference's segmentation stage is a sequential C# Viterbi
+parallelized per-chromosome over cores (HiddenMarkovModelsRunner.cs:51-104).
+BASELINE.json publishes no stage throughput, so vs_baseline is measured
+against a 1.0e6 bins/sec estimate for the reference on a 16-vCPU host (its
+demo machine), derived from the 5-state x 5-transition double-precision
+inner loop at ~1ns/op plus table lookups.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_BINS_PER_SEC = 1.0e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from canvas_tpu.ops import hmm
+    from canvas_tpu.pipeline.device_pipeline import segmentation_step
+
+    B, T, D, S = 24, 512 * 1024, 1, 5
+    rng = np.random.default_rng(0)
+    cov = np.abs(rng.normal(100.0, 12.0, size=(B, T, D))).astype(np.float32)
+    # plant CNVs so the decode isn't trivially constant
+    cov[:, T // 8: T // 4] *= 0.5
+    cov[:, T // 2: T // 2 + T // 8] *= 1.5
+    V = 300
+    cov = np.minimum(cov, V - 10).astype(np.float32)
+    mask = np.ones((B, T), dtype=bool)
+
+    means = np.maximum(np.arange(S)[:, None], 0.1) * 50.0
+    tables = hmm.negative_binomial_table(means, np.full((S, 1), 400.0), V)
+    log_tables = np.where(tables > 0, np.log(np.maximum(tables, 1e-300)),
+                          hmm.NEG_INF).astype(np.float32)
+    log_trans = np.asarray(hmm.log_transition(S), np.float32)
+    log_init = np.log(np.full(S, 1.0 / S, np.float32))
+
+    args = (jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(log_tables),
+            jnp.asarray(log_trans), jnp.asarray(log_init))
+
+    # warmup/compile
+    out = segmentation_step(*args)
+    out.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = segmentation_step(*args)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    bins_per_sec = B * T / dt
+    print(json.dumps({
+        "metric": "coverage bins segmented/sec/chip (5-state NB HMM Viterbi)",
+        "value": round(bins_per_sec, 1),
+        "unit": "bins/sec",
+        "vs_baseline": round(bins_per_sec / REFERENCE_BINS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

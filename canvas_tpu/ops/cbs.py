@@ -1,0 +1,526 @@
+"""Circular binary segmentation (CanvasPartition CBS mode; DNAcopy port).
+
+Reference structure (ChangePoint.cs, CBSTStatistic.cs, GetBoundary.cs,
+TailProbability.cs):
+  * recursive ternary splitting of each chromosome, driven from the host
+    (ChangePoint.ChangePoints, :44-153);
+  * the split statistic is the max over circular arcs of
+    bss(L, d) = n/(L(n-L)) * d^2 (d = partial-sum difference), converted to
+    a t^2 via bss / ((TSS - bss)/(n-2)) (TMaxO, CBSTStatistic.cs:19-340);
+  * p-values by permutation with sequential early stopping boundaries
+    (GetBoundary hypergeometric construction) and, in hybrid mode, an
+    Ornstein-Uhlenbeck tail bound (TailProbability.TailP) plus a
+    small-arc-only permutation max (HTMaxP, arcs of length al0..kMax
+    including wrap-around);
+  * edge changepoints validated by a two-sample mean permutation test
+    (TPermP, :~650-720);
+  * optional SD-undo / prune split-undo passes (:155-271).
+
+TPU design: the reference evaluates permutations one at a time with early
+stopping.  Here ALL permutation statistics evaluate as one batched device
+pass ([P, n] cumsum + per-arc-length shifted-diff maxima); the sequential
+stopping rule is then replayed exactly on the host from the stat vector —
+identical accept/reject decisions, no sequential device work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import stats as sps
+
+from canvas_tpu.ops import stats
+
+DEFAULT_ALPHA = 0.01      # CBSRunner.cs:11
+DEFAULT_NPERM = 10000
+DEFAULT_KMAX = 25
+DEFAULT_NMIN = 200
+DEFAULT_ETA = 0.05
+DEFAULT_TRIM = 0.025
+DEFAULT_MIN_WIDTH = 2
+
+
+# ---------------------------------------------------------------------------
+# Genome-wide trimmed variance (ChangePoint.TrimmedVariance, :423-474)
+# ---------------------------------------------------------------------------
+
+def inflation_factor(trim: float) -> float:
+    a = sps.norm.ppf(1 - trim)
+    step = 2 * a / 10000
+    x = np.linspace(-a + step / 2, a - step / 2, 10000)
+    ex2 = np.sum(x * x * sps.norm.pdf(x)) * step / (1 - 2 * trim)
+    return 1.0 / ex2
+
+
+def trimmed_variance(coverage_by_contig: dict[str, np.ndarray],
+                     trim: float = DEFAULT_TRIM) -> float:
+    """Variance of trimmed |diffs| across the concatenated genome (including
+    cross-chromosome boundary diffs, as the reference does)."""
+    concat = np.concatenate([np.asarray(v, np.float64)
+                             for v in coverage_by_contig.values() if len(v)])
+    diffs = np.abs(np.diff(concat))
+    n = len(concat)
+    n_keep = int(np.round((1 - 2 * trim) * (n - 1)))
+    d = np.sort(diffs)[:n_keep]
+    return inflation_factor(trim) * np.sum(d * d) / (2 * n_keep)
+
+
+# ---------------------------------------------------------------------------
+# Sequential stopping boundary (GetBoundary.cs)
+# ---------------------------------------------------------------------------
+
+def _eta_boundary(n_perm: int, eta0: float, n1s: int) -> np.ndarray:
+    """First n1s boundary values: smallest i with phyper(k; n1s, n-n1s, i)
+    <= eta0 for k = 0..n1s-1 (GetBoundary.EtaBoundary)."""
+    dn = n_perm - n1s
+    out = np.zeros(n1s, dtype=np.uint32)
+    k = 0
+    for i in range(1, n_perm + 1):
+        if k >= n1s:
+            break
+        t = sps.hypergeom.cdf(k, n1s + dn, n1s, i)
+        if t <= eta0:
+            out[k] = i
+            k += 1
+    return out
+
+
+def _p_exceed(n_perm: int, n1s: int, bdry: np.ndarray) -> float:
+    """Crossing probability of the boundary (GetBoundary.PExceed)."""
+    from scipy.special import betaln, gammaln
+
+    def binomln(n, k):
+        if k < 0 or k > n:
+            return -np.inf
+        return (gammaln(n + 1) - gammaln(k + 1) - gammaln(n - k + 1))
+
+    n, k = n_perm, n1s
+    dlcnk = binomln(n, k)
+    n1 = n_perm - int(bdry[0])
+    p = np.exp(binomln(n1, k) - dlcnk)
+    if n1s >= 2:
+        n1 = int(bdry[0])
+        nn = n_perm - int(bdry[1])
+        p += np.exp(np.log(n1) + binomln(nn, n1s - 1) - dlcnk)
+    if n1s >= 3:
+        n1, n2 = int(bdry[0]), int(bdry[1])
+        nn = n_perm - int(bdry[2])
+        kk = n1s - 2
+        p += np.exp(np.log(n1) + np.log(n1 - 1.0) - np.log(2.0)
+                    + binomln(nn, kk) - dlcnk)
+        p += np.exp(np.log(n1) + np.log(n2 - n1) + binomln(nn, kk) - dlcnk)
+    if n1s > 3:
+        for i in range(4, n1s + 1):
+            n1 = int(bdry[i - 4])
+            n2 = int(bdry[i - 3])
+            n3 = int(bdry[i - 2])
+            nn = n_perm - int(bdry[i - 1])
+            kk = n1s - i + 1
+            p += np.exp(binomln(n1, i - 1) + binomln(nn, kk) - dlcnk)
+            p += np.exp(binomln(n1, i - 2) + np.log(n3 - n1)
+                        + binomln(nn, kk) - dlcnk)
+            p += np.exp(binomln(n1, i - 3) + np.log(n2 - n1) + np.log(n3 - n2)
+                        + binomln(nn, kk) - dlcnk)
+            p += np.exp(binomln(n1, i - 3) + np.log(n2 - n1) - np.log(2.0)
+                        + np.log(n2 - n1 - 1.0) + binomln(nn, kk) - dlcnk)
+    return float(p)
+
+
+def compute_boundary(n_perm: int = DEFAULT_NPERM, alpha: float = DEFAULT_ALPHA,
+                     eta: float = DEFAULT_ETA, tol: float = 1e-2) -> np.ndarray:
+    """Sequential boundary array, concatenated triangles for j = 1..maxOnes
+    (GetBoundary.ComputeBoundary)."""
+    max_ones = int(np.floor(n_perm * alpha) + 1)
+    sbdry = np.zeros(max_ones * (max_ones + 1) // 2, dtype=np.uint32)
+    sbdry[0] = n_perm - int(n_perm * eta)
+    eta0 = eta
+    offset = 1
+    for j in range(2, max_ones + 1):
+        eta_hi = eta0 * 1.1
+        b = _eta_boundary(n_perm, eta_hi, j)
+        p_hi = _p_exceed(n_perm, j, b)
+        eta_lo = eta0 * 0.25
+        b = _eta_boundary(n_perm, eta_lo, j)
+        p_lo = _p_exceed(n_perm, j, b)
+        while (eta_hi - eta_lo) / eta_lo > tol:
+            eta0 = eta_lo + (eta_hi - eta_lo) * (eta - p_lo) / (p_hi - p_lo)
+            b = _eta_boundary(n_perm, eta0, j)
+            p = _p_exceed(n_perm, j, b)
+            if p > eta:
+                eta_hi, p_hi = eta0, p
+            else:
+                eta_lo, p_lo = eta0, p
+        sbdry[offset:offset + j] = b
+        offset += j
+    return sbdry
+
+
+# ---------------------------------------------------------------------------
+# OU tail probability (TailProbability.cs)
+# ---------------------------------------------------------------------------
+
+def _nu(x: float, tol: float) -> float:
+    if x > 0.01:
+        lnu1 = np.log(2.0) - 2 * np.log(x)
+        lnu0 = lnu1
+        k = 2
+        dk = 0.0
+        for _ in range(k):
+            dk += 1
+            lnu1 -= 2.0 * sps.norm.cdf(-x * np.sqrt(dk) / 2.0) / dk
+        while abs((lnu1 - lnu0) / lnu1) > tol:
+            lnu0 = lnu1
+            for _ in range(k):
+                dk += 1
+                lnu1 -= 2.0 * sps.norm.cdf(-x * np.sqrt(dk) / 2.0) / dk
+            k *= 2
+    else:
+        lnu1 = -0.583 * x
+    return float(np.exp(lnu1))
+
+
+def _integral_inv_t1t_sq(x: float, a: float) -> float:
+    y = x + a - 0.5
+    out = 8.0 * y / (1.0 - 4.0 * y * y) + 2.0 * np.log((1 + 2 * y) / (1 - 2 * y))
+    y = x - 0.5
+    out -= 8.0 * y / (1.0 - 4.0 * y * y) + 2.0 * np.log((1 + 2 * y) / (1 - 2 * y))
+    return float(out)
+
+
+def tail_p(b: float, delta: float, m: int, n_grid: int = 100,
+           tol: float = 1e-6) -> float:
+    dincr = (0.5 - delta) / n_grid
+    bsqrtm = b / np.sqrt(m)
+    tl = 0.5 - dincr
+    t = 0.5 - 0.5 * dincr
+    out = 0.0
+    for _ in range(n_grid):
+        tl += dincr
+        t += dincr
+        x = bsqrtm / np.sqrt(t * (1 - t))
+        out += _nu(x, tol) ** 2 * _integral_inv_t1t_sq(tl, dincr)
+    out = 9.973557e-2 * b ** 3 * np.exp(-b * b / 2) * out
+    return float(2.0 * out)
+
+
+# ---------------------------------------------------------------------------
+# Max-t statistics
+# ---------------------------------------------------------------------------
+
+def _bss_to_t2(bss: float, tss: float, n: int) -> float:
+    if tss <= bss + 0.0001:
+        tss = bss + 1.0
+    return bss / ((tss - bss) / (n - 2.0))
+
+
+def tmax_o(x: np.ndarray, tss: float, al0: int) -> tuple[float, int, int]:
+    """Max t^2 over circular splits of centered data x, with split location.
+
+    Returns (ostat, i, j): segment boundaries as 1-based partial-sum indices
+    (the arc is x[i..j-1] in 0-based terms).  Semantics match
+    CBSTStatistic.TMaxO: the global partial-sum extrema pair seeds the max
+    regardless of arc length; refinement scans lengths in [al0, n-al0].
+    """
+    n = len(x)
+    cs = np.cumsum(x, dtype=np.float64)            # cs[k] = sx[k+1] 1-based
+    imin, imax = int(np.argmin(cs)) + 1, int(np.argmax(cs)) + 1
+    psdiff = cs[imax - 1] - cs[imin - 1]
+    if psdiff <= 0:
+        return 0.0, min(imin, imax), max(imin, imax)
+    rj = abs(imax - imin)
+    best = n / (rj * (n - rj)) * psdiff ** 2
+    ti, tj = min(imin, imax), max(imin, imax)
+    # scan arc lengths (vectorized per length)
+    nal0 = n - al0
+    for L in range(al0, nal0 + 1):
+        if L >= n:
+            break
+        d = np.abs(cs[L:] - cs[:-L])               # pairs (i, i+L), i=1..n-L
+        k = int(np.argmax(d))
+        bss = n / (L * (n - L)) * d[k] ** 2
+        if bss > best:
+            best = bss
+            ti, tj = k + 1, k + 1 + L
+    return _bss_to_t2(best, tss, n), ti, tj
+
+
+@partial(jax.jit, static_argnames=("al0", "kmax"))
+def _htmax_p_batch_device(perms: jnp.ndarray, al0: int, kmax: int) -> jnp.ndarray:
+    """Max bss over circular arcs of length al0..kmax for each permutation
+    [P, n] (HTMaxP semantics; wrap-around arcs included)."""
+    P, n = perms.shape
+    cs = jnp.cumsum(perms, axis=1)
+    best = jnp.zeros(P, dtype=perms.dtype)
+    for L in range(al0, min(kmax, n - 1) + 1):
+        # linear arcs of length L
+        d_lin = jnp.max(jnp.abs(cs[:, L:] - cs[:, :-L]), axis=1)
+        # wrap-around arcs of length L = linear pairs at distance n-L,
+        # still weighted by L (HTMaxP's "minor arcs spanning the end")
+        d_wrap = jnp.max(jnp.abs(cs[:, n - L:] - cs[:, :L]), axis=1)
+        d = jnp.maximum(d_lin, d_wrap)
+        w = n / (L * (n - L))
+        best = jnp.maximum(best, w * d * d)
+    return best
+
+
+def htmax_p_batch(perms: np.ndarray, tss: float, al0: int, kmax: int) -> np.ndarray:
+    n = perms.shape[1]
+    bss = np.asarray(_htmax_p_batch_device(jnp.asarray(perms), al0, kmax),
+                     dtype=np.float64)
+    tssv = np.where(tss <= bss + 0.0001, bss + 1.0, tss)
+    return bss / ((tssv - bss) / (n - 2.0))
+
+
+def tmax_p_batch(perms: np.ndarray, tss: float, al0: int) -> np.ndarray:
+    """Full max-t for each permutation (TMaxP semantics)."""
+    P, n = perms.shape
+    cs = np.cumsum(perms, axis=1)
+    best = np.zeros(P)
+    for L in range(al0, n - al0 + 1):
+        if L >= n:
+            break
+        d = np.max(np.abs(cs[:, L:] - cs[:, :-L]), axis=1)
+        w = n / (L * (n - L))
+        np.maximum(best, w * d * d, out=best)
+    tssv = np.where(tss <= best + 0.0001, best + 1.0, tss)
+    return best / ((tssv - best) / (n - 2.0))
+
+
+def t_perm_p(n1: int, n2: int, x: np.ndarray, n_perm: int,
+             rng: np.random.Generator) -> float:
+    """Two-sample mean permutation p-value (CBSTStatistic.TPermP)."""
+    n = n1 + n2
+    if n1 == 1 or n2 == 1:
+        return 1.0
+    xsum1 = float(np.sum(x[:n1]))
+    xsum2 = float(np.sum(x[n1:n]))
+    tss = float(np.sum(x[:n] ** 2))
+    xbar = (xsum1 + xsum2) / n
+    tss -= n * xbar ** 2
+    if n1 <= n2:
+        m1, rm1 = n1, float(n1)
+        ostat = 0.99999 * abs(xsum1 / n1 - xbar)
+        tstat = ostat ** 2 * n1 * n / n2
+    else:
+        m1, rm1 = n2, float(n2)
+        ostat = 0.99999 * abs(xsum2 / n2 - xbar)
+        tstat = ostat ** 2 * n2 * n / n1
+    tstat = tstat / ((tss - tstat) / (n - 2.0))
+    if tstat > 25 and m1 >= 10:
+        return 0.0
+    # batched sampling without replacement: m1 elements per permutation
+    picks = np.argsort(rng.random((n_perm, n)), axis=1)[:, :m1]
+    sums = np.sum(x[:n][picks], axis=1)
+    pstat = np.abs(sums / rm1 - xbar)
+    return float(np.count_nonzero(ostat <= pstat)) / n_perm
+
+
+# ---------------------------------------------------------------------------
+# Change-point search (ChangePoint.FindChangePoints / ChangePoints)
+# ---------------------------------------------------------------------------
+
+def find_change_points(
+    x: np.ndarray, tss: float, n_perm: int, alpha: float, sbdry: np.ndarray,
+    hybrid: bool, min_width: int, kmax: int, delta: float,
+    rng: np.random.Generator, n_grid: int = 100, tol: float = 1e-6,
+) -> list[int]:
+    """Returns 0, 1 or 2 change points (indices into x)."""
+    n = len(x)
+    ostat, i1, i2 = tmax_o(x, tss, min_width)
+    ostat1 = np.sqrt(ostat)
+    ostat *= 0.99999
+    if ostat1 <= 0.1:
+        return []
+    l = min(i2 - i1, n - i2 + i1)
+    if not (ostat1 >= 7.0 and l >= 10):
+        # permutation p-value with sequential stopping, replayed from a
+        # batched device evaluation of all permutation statistics
+        if hybrid:
+            p1 = tail_p(ostat1, delta, n, n_grid, tol)
+            if p1 > alpha:
+                return []
+            nrejc = int((alpha - p1) * n_perm)
+        else:
+            nrejc = int(alpha * n_perm)
+        k = nrejc * (nrejc + 1) // 2 + 1
+        perms = _permute_batch(x, n_perm, rng)
+        if hybrid:
+            pstats = htmax_p_batch(perms, tss, min_width, kmax)
+        else:
+            pstats = tmax_p_batch(perms, tss, min_width)
+        nrej = 0
+        accepted = True
+        for np_i in range(1, n_perm + 1):
+            if ostat <= pstats[np_i - 1]:
+                nrej += 1
+                k += 1
+            if nrej > nrejc:
+                accepted = False
+                break
+            if np_i >= sbdry[k - 1]:
+                break
+        if not accepted:
+            return []
+    # split location tests (ChangePoint.cs:359-398)
+    if i2 == n:
+        return [i1]
+    if i1 == 0:
+        return [i2]
+    out = []
+    p = t_perm_p(i1, i2 - i1, x, n_perm, rng)
+    if p <= alpha:
+        out.append(i1)
+    p = t_perm_p(i2 - i1, n - i2, x[i1:], n_perm, rng)
+    if p <= alpha:
+        out.append(i2)
+    return out
+
+
+def _permute_batch(x: np.ndarray, n_perm: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    idx = np.argsort(rng.random((n_perm, len(x))), axis=1)
+    return x[idx]
+
+
+def change_points(
+    data: np.ndarray,
+    sbdry: np.ndarray,
+    rng: np.random.Generator,
+    alpha: float = DEFAULT_ALPHA,
+    n_perm: int = DEFAULT_NPERM,
+    p_method: str = "hybrid",
+    min_width: int = DEFAULT_MIN_WIDTH,
+    kmax: int = DEFAULT_KMAX,
+    n_min: int = DEFAULT_NMIN,
+    trimmed_sd: float = -1.0,
+    undo_splits: str = "none",
+    undo_prune: float = 0.05,
+    undo_sd: float = 3.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Recursive driver (ChangePoint.ChangePoints).
+    Returns (segment lengths, segment means)."""
+    data = np.asarray(data, dtype=np.float64)
+    if trimmed_sd <= 0:
+        trimmed_sd = stats.mad(np.diff(data)) / np.sqrt(2)
+    seg_end = [0, len(data)]
+    change_locations: list[int] = []
+    while len(seg_end) > 1:
+        lo, hi = seg_end[-2], seg_end[-1]
+        current = data[lo:hi]
+        n = len(current)
+        cps: list[int] = []
+        if n >= 2 * min_width and current.max() != current.min():
+            hybrid = p_method == "hybrid" and n_min < n
+            delta = (kmax + 1.0) / n if hybrid else 0.0
+            centered = current - current.mean()
+            tss = float(np.sum(centered ** 2))
+            cps = find_change_points(
+                centered, tss, n_perm, alpha, sbdry, hybrid, min_width,
+                kmax, delta, rng)
+            cps = [c + lo for c in cps]
+        if not cps:
+            change_locations.append(hi)
+            seg_end.pop()
+        else:
+            seg_end[-1:-1] = cps
+    change_locations.reverse()
+    seg_ends = [0] + change_locations
+    length_seg = np.diff(np.asarray(seg_ends))
+    if len(change_locations) > 1:
+        if undo_splits == "prune":
+            length_seg = _prune(data, length_seg, undo_prune)
+        elif undo_splits == "sdundo":
+            length_seg = _sd_undo(data, length_seg, trimmed_sd, undo_sd)
+    means = np.empty(len(length_seg))
+    ll = 0
+    for i, L in enumerate(length_seg):
+        means[i] = data[ll:ll + L].mean()
+        ll += L
+    return np.asarray(length_seg, dtype=np.int64), means
+
+
+def _sd_undo(data: np.ndarray, length_seg: np.ndarray, trimmed_sd: float,
+             change_sd: float) -> np.ndarray:
+    """ChangePointsSDUndo (:155-196): repeatedly remove the changepoint with
+    the smallest |median difference| below change_sd * trimmedSD."""
+    cut = change_sd * trimmed_sd
+    ends = list(np.cumsum(length_seg))
+    while len(ends) > 1:
+        starts = [0] + ends[:-1]
+        medians = [stats.median(data[s:e]) for s, e in zip(starts, ends)]
+        absdiff = np.abs(np.diff(medians))
+        i_min = int(np.argmin(absdiff))
+        if absdiff[i_min] < cut:
+            ends.pop(i_min)
+        else:
+            break
+    return np.diff(np.asarray([0] + ends))
+
+
+def _prune(data: np.ndarray, length_seg: np.ndarray,
+           change_cutoff: float) -> np.ndarray:
+    """ChangePointsPrune (:205-271): smallest changepoint subset whose
+    weighted SS stays within (1+cutoff) of the full model."""
+    from itertools import combinations
+
+    ncp = len(length_seg) - 1
+    seg_sums = np.array([data[s:e].sum() for s, e in zip(
+        np.concatenate([[0], np.cumsum(length_seg)[:-1]]),
+        np.cumsum(length_seg))])
+    ssq = float(np.sum(data ** 2))
+    lengths = np.asarray(length_seg)
+
+    def ess(loc: tuple[int, ...]) -> float:
+        # error SS given changepoints at 1-based segment-boundary ids
+        bounds = [0] + [sum(lengths[:i]) for i in loc] + [int(lengths.sum())]
+        out = 0.0
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = data[s:e]
+            out += seg.sum() ** 2 / len(seg)
+        return out
+
+    full = tuple(range(1, ncp + 1))
+    wssqk = ssq - ess(full)
+    kept = full
+    for j in range(ncp - 1, 0, -1):
+        best_w, best_loc = np.inf, None
+        for loc in combinations(range(1, ncp + 1), j):
+            w = ssq - ess(loc)
+            if w <= best_w:
+                best_w, best_loc = w, loc
+        if best_w / wssqk > 1 + change_cutoff:
+            break
+        kept = best_loc
+    cum = np.cumsum(lengths)
+    pts = [0] + [int(cum[i - 1]) for i in kept] + [int(lengths.sum())]
+    return np.diff(np.asarray(sorted(set(pts))))
+
+
+def run_cbs(
+    coverage_by_contig: dict[str, np.ndarray],
+    alpha: float = DEFAULT_ALPHA,
+    n_perm: int = DEFAULT_NPERM,
+    undo_method: str = "none",
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """CBSRunner.Run equivalent: per-contig change points with deterministic
+    per-contig RNG streams.  Returns contig -> segment lengths (in finite-bin
+    index space)."""
+    sbdry = compute_boundary(n_perm, alpha, DEFAULT_ETA)
+    finite = {k: np.asarray(v, np.float64)[np.isfinite(v)]
+              for k, v in coverage_by_contig.items()}
+    if sum(len(v) for v in finite.values()) == 0:
+        return {}
+    tsd = float(np.sqrt(trimmed_variance(finite)))
+    seed_gen = np.random.default_rng(seed)
+    out = {}
+    for name, cov in coverage_by_contig.items():
+        rng = np.random.default_rng(seed_gen.integers(0, 2 ** 31 - 1))
+        lengths, _ = change_points(
+            cov, sbdry, rng, alpha=alpha, n_perm=n_perm,
+            trimmed_sd=tsd, undo_splits=undo_method)
+        out[name] = lengths
+    return out

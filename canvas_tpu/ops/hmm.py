@@ -236,6 +236,120 @@ def viterbi_decode(
     return states.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def viterbi_decode_chunked(
+    log_em: jnp.ndarray,    # [B, T, S]
+    log_trans: jnp.ndarray, # [S, S]
+    log_init: jnp.ndarray,  # [S]
+    mask: jnp.ndarray,      # [B, T]
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Chunked parallel Viterbi — the production decode path.
+
+    The flat tropical scan (viterbi_decode) compiles O(T) HLO and moves
+    O(T log T) HBM traffic.  Here T splits into T/chunk chunks:
+      1. per-chunk (max,+) transfer matrices via lax.scan over `chunk`
+         steps (all chunks advance in parallel on the lane axis);
+      2. a short associative scan over the T/chunk chunk matrices gives
+         exact chunk-boundary score vectors;
+      3. a second in-chunk scan recomputes scores + backpointers;
+      4. in-chunk reverse scans backtrack all S possible chunk-end states
+         at once; chunk-end states resolve by a reverse pointer chase over
+         chunk boundary maps.
+    Output matches viterbi_decode / viterbi_decode_scan exactly.
+    """
+    B, T, S = log_em.shape
+    pad = (-T) % chunk
+    if pad:
+        log_em = jnp.pad(log_em, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    Tp = T + pad
+    nC = Tp // chunk
+    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG_INF)
+
+    em = log_em.reshape(B, nC, chunk, S)
+    mk = mask.reshape(B, nC, chunk)
+    # step matrices including the initial-distribution fold at t=0
+    def step_matrix(e, m, is_t0):
+        mat = jnp.where(is_t0[..., None, None],
+                        jnp.broadcast_to((log_init + e)[..., None, :],
+                                         e.shape[:-1] + (S, S)),
+                        log_trans + e[..., None, :])
+        return jnp.where(m[..., None, None], mat, eye)
+
+    t_idx = jnp.arange(Tp).reshape(nC, chunk)
+    is_t0 = (t_idx == 0)[None].repeat(B, axis=0)
+
+    # phase 1: chunk transfer matrices  [B, nC, S, S]
+    def p1(carry, inp):
+        e, m, t0 = inp                       # [B,nC,S], [B,nC], [B,nC]
+        mat = step_matrix(e, m, t0)
+        return _maxplus_combine(carry, mat), None
+
+    init_mat = jnp.broadcast_to(eye, (B, nC, S, S))
+    xs = (jnp.moveaxis(em, 2, 0), jnp.moveaxis(mk, 2, 0),
+          jnp.moveaxis(is_t0, 2, 0))
+    chunk_mats, _ = jax.lax.scan(p1, init_mat, xs)
+
+    # phase 2: prefix products over chunks -> chunk-start scores
+    prefix = jax.lax.associative_scan(_maxplus_combine, chunk_mats, axis=1)
+    scores_end = jnp.max(prefix, axis=-2)            # [B, nC, S] scores at chunk ends
+    # score vector at the START of chunk c = scores_end[c-1]; chunk 0 starts
+    # from a neutral vector (the t=0 fold handles init)
+    start_scores = jnp.concatenate(
+        [jnp.zeros((B, 1, S)), scores_end[:, :-1]], axis=1)
+
+    # phase 3: in-chunk forward, recording backpointers
+    def p3(carry, inp):
+        e, m, t0 = inp
+        mat = step_matrix(e, m, t0)                  # [B,nC,S,S]
+        cand = carry[..., :, None] + mat             # [B,nC,S,S]
+        new = jnp.max(cand, axis=-2)
+        bp = jnp.argmax(cand, axis=-2).astype(jnp.int32)
+        return new, bp
+
+    _, bps = jax.lax.scan(p3, start_scores, xs)      # bps [chunk,B,nC,S]
+
+    # phase 4a: backtrack all S chunk-end states within each chunk.
+    # state path: state_t = bp[t][state_{t+1}] walking down from the end.
+    def p4(carry, bp):
+        # carry: [B,nC,S] current state for each assumed chunk-end state
+        prev = jnp.take_along_axis(bp, carry, axis=-1)
+        return prev, carry
+
+    end_states = jnp.broadcast_to(
+        jnp.arange(S, dtype=jnp.int32), (B, nC, S))
+    # walk t = chunk-1 .. 1 consuming bps[t]; emit state at t
+    first_state, path_tail = jax.lax.scan(
+        p4, end_states, bps[1:], reverse=True)
+    # paths_all[t] for t=0: first_state (after consuming bps[1])
+    paths_all = jnp.concatenate([first_state[None], path_tail], axis=0)
+    # chunk map: end-state -> start-state is bps[0] applied to first_state:
+    # state before the chunk's first transition lives in the previous chunk;
+    # bps[0] maps into the previous chunk's end state.
+    prev_end = jnp.take_along_axis(bps[0], first_state, axis=-1)  # [B,nC,S]
+
+    # phase 4b: resolve actual chunk-end states right-to-left
+    last_end = jnp.argmax(scores_end[:, -1], axis=-1).astype(jnp.int32)  # [B]
+
+    def p4b(carry, pe):
+        # pe: prev_end for chunk c [B,S]; carry: end state of chunk c [B]
+        prev = jnp.take_along_axis(pe, carry[:, None], axis=-1)[:, 0]
+        return prev, carry
+
+    pe_seq = jnp.moveaxis(prev_end, 1, 0)            # [nC, B, S]
+    _, chunk_end_states = jax.lax.scan(p4b, last_end, pe_seq, reverse=True)
+    chunk_end_states = jnp.moveaxis(chunk_end_states, 0, 1)  # [B, nC]
+
+    # gather per-step states for the realized end state of each chunk
+    sel = chunk_end_states[None, :, :, None]          # [1,B,nC,1]
+    states = jnp.take_along_axis(
+        paths_all, jnp.broadcast_to(sel, paths_all.shape[:-1] + (1,)),
+        axis=-1)[..., 0]                              # [chunk, B, nC]
+    states = jnp.moveaxis(states, 0, 2).reshape(B, Tp)
+    return states[:, :T].astype(jnp.int32)
+
+
 def viterbi_decode_scan(log_em, log_trans, log_init, mask):
     """Sequential lax.scan Viterbi — semantics oracle for the tropical-scan
     implementation (same outputs, O(T) depth)."""

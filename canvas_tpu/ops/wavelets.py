@@ -1,0 +1,230 @@
+"""Unbalanced Haar wavelet segmentation (CanvasPartition Wavelets mode).
+
+Implements Fryzlewicz 2007 top-down unbalanced Haar decomposition with the
+reference's specific conventions (WaveletSegmentation.cs):
+
+  * inner product at split m (1-based) of a length-n segment equals
+    sqrt(m*(n-m)/n) * (mean(left) - mean(right)); computed here from prefix
+    sums in float64 (the reference uses an equivalent sequential recurrence,
+    :19-48);
+  * each coefficient is normalized by max(0.5, segmentMean/200) (:282-283);
+  * argmax of |inner product|, first index on ties (:54-67);
+  * hard thresholding at 2*sigma*t*sqrt(2*ln(n)) with germline per-node
+    weights t in (0.8, 1.0] assigned through the reference's
+    sorted-indices permutation (:72-115);
+  * reconstruction + breakpoint extraction (:138-185);
+  * healing of poorly-supported splits using factor-of-three CMAD cutoffs
+    (:194-232) and germline breakpoint refinement by local median search
+    (:237-258).
+
+The decomposition is a data-dependent binary recursion — host-driven, with
+vectorized prefix-sum inner products per node (the per-node work is what the
+reference does sequentially).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from canvas_tpu.ops import stats
+
+MEAN_SCALE = 200.0
+DEFAULT_MAD_FACTOR = 5.0  # WaveletsRunner.cs:14
+
+
+def inner_products(x: np.ndarray) -> tuple[np.ndarray, float]:
+    """All n-1 unbalanced Haar inner products of x; returns (ip, mean)."""
+    n = len(x)
+    cs = np.cumsum(x, dtype=np.float64)
+    total = cs[-1]
+    m = np.arange(1, n, dtype=np.float64)
+    left = cs[:-1]
+    right = total - left
+    # sqrt(1/m - 1/n)*left - (1/sqrt(n^2/m - n))*right
+    ip = np.sqrt(1.0 / m - 1.0 / n) * left - right / np.sqrt(n * n / m - n)
+    return ip, total / n
+
+
+def _best_split(x: np.ndarray) -> tuple[int, float, float]:
+    """(1-based split index, raw coefficient, normalized coefficient)."""
+    ip, mean = inner_products(x)
+    absip = np.abs(ip)
+    ind = int(np.flatnonzero(absip == absip.max())[0]) + 1
+    coeff = ip[ind - 1] / max(0.5, mean / MEAN_SCALE)
+    return ind, ip[ind - 1], coeff
+
+
+def decompose(x: np.ndarray) -> tuple[list[np.ndarray], float]:
+    """Top-down decomposition.  Returns (tree, smooth).
+
+    tree[j] is a [K_j, 5] float array of nodes (index, coeff, start, split,
+    end) with the reference's 1-based inclusive conventions: the node covers
+    x[start-1 .. end-1]; `split` is the last point of the left child.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    ind, _, coeff = _best_split(x)
+    tree: list[np.ndarray] = [np.array([[1.0, coeff, 1.0, ind, n]])]
+    j = 0
+    while True:
+        level = tree[j]
+        # done when every node's left/right children are single points
+        if np.sum(level[:, 4] - level[:, 2] - 1.0) == 0:
+            break
+        children = []
+        for node in level:
+            idx, _, start, split, end = node
+            # left child: [start, split], needs >= 2 points
+            if split - start >= 1:
+                lo, hi = int(start) - 1, int(split)
+                ci, _, cc = _best_split(x[lo:hi])
+                children.append([2 * idx - 1, cc, start, ci + start - 1, split])
+            # right child: [split+1, end], needs >= 2 points
+            if end - split >= 2:
+                lo, hi = int(split), int(end)
+                ci, _, cc = _best_split(x[lo:hi])
+                children.append([2 * idx, cc, split + 1, ci + split, end])
+        tree.append(np.asarray(children, dtype=np.float64))
+        j += 1
+    smooth = float(np.sum(x) / np.sqrt(n))
+    return tree, smooth
+
+
+def hard_threshold(tree: list[np.ndarray], sigma: float,
+                   is_germline: bool) -> None:
+    """Zero coefficients below 2*sigma*t*sqrt(2 ln n) in place
+    (WaveletSegmentation.cs:72-115)."""
+    tree_size = len(tree)
+    if is_germline:
+        counts = np.array([t.shape[0] for t in tree])
+        order = np.argsort(-counts, kind="stable")  # node ids by count desc
+        ramp = (np.arange(1, tree_size + 1) * (1.0 - 0.8)) / tree_size + 0.8
+        thr = ramp[order]   # thresholds[indices[nodeIndex]] in the reference
+    else:
+        thr = np.ones(tree_size)
+    n = tree[0][0, 4]
+    lim = np.sqrt(2 * np.log(n))
+    for j in range(tree_size):
+        cut = 2 * sigma * thr[j] * lim
+        coeffs = tree[j][:, 1]
+        coeffs[np.abs(coeffs) <= cut] = 0.0
+
+
+def reconstruct(tree: list[np.ndarray], smooth: float) -> np.ndarray:
+    """GetReconstructedVector (:138-168)."""
+    n = int(tree[0][0, 4])
+    rec = np.full(n, smooth / np.sqrt(n))
+    for level in tree:
+        for idx, coeff, start, split, end in level:
+            if coeff == 0.0:
+                continue
+            nn = end - start + 1
+            mm = split - start + 1
+            val1 = np.sqrt(1 / mm - 1 / nn)
+            val2 = -1.0 / np.sqrt(nn * nn / mm - nn)
+            s, sp, e = int(start) - 1, int(split), int(end)
+            rec[s:sp] += val1 * coeff
+            rec[sp:e] += val2 * coeff
+    return rec
+
+
+def breakpoints_from_reconstruction(rec: np.ndarray) -> list[int]:
+    bps = [0]
+    bps.extend(int(i) for i in (np.flatnonzero(np.diff(rec) != 0) + 1))
+    return bps
+
+
+def heal_bad_splits(prelim: list[int], ratio: np.ndarray,
+                    factor_of_three_cmads: list[float]) -> list[int]:
+    """Greedy removal of breakpoints whose flanking medians are too close
+    (:194-232)."""
+    n = len(ratio)
+    out = [prelim[0]]
+    for i in range(1, len(prelim)):
+        left_start = out[-1]
+        right_start = prelim[i]
+        right_end = prelim[i + 1] if i < len(prelim) - 1 else n
+        left_med = stats.median(ratio[left_start:right_start])
+        right_med = stats.median(ratio[right_start:right_end])
+        ll = right_start - left_start
+        rl = right_end - right_start
+        weighted = (ll * left_med + rl * right_med) / (right_end - left_start)
+        smaller = min(ll, rl)
+        scale = min(len(factor_of_three_cmads) - 1,
+                    int(np.ceil(np.log(smaller) / np.log(3))))
+        cutoff = factor_of_three_cmads[scale]
+        if abs(left_med - right_med) > cutoff * 4 * max(weighted, 50.0):
+            out.append(right_start)
+    return out
+
+
+def refine_segments(breakpoints: list[int], coverage: np.ndarray) -> list[int]:
+    """Germline: nudge each interior breakpoint to maximize the deviation of
+    the left segment's median from the chromosome median (:237-258)."""
+    half_window = 5
+    total_median = stats.median(coverage)
+    bps = list(breakpoints)
+    for i in range(1, len(bps) - 1):
+        left = min(half_window, (bps[i] - bps[i - 1]) // 2)
+        right = min(half_window, (bps[i + 1] - bps[i]) // 2)
+        best_diff = abs(stats.median(coverage[bps[i - 1]:bps[i]]) - total_median)
+        best = bps[i]
+        for j in range(bps[i] - left, bps[i] + right):
+            diff = abs(stats.median(coverage[bps[i - 1]:j]) - total_median)
+            if diff > best_diff:
+                best_diff, best = diff, j
+        bps[i] = best
+    return bps
+
+
+def haar_wavelets(
+    ratio: np.ndarray,
+    threshold_lower: float,
+    threshold_upper: float,
+    is_germline: bool,
+    mad_factor: float,
+    coeff_variability: float | None,
+    factor_of_three_cmads: list[float],
+) -> list[int]:
+    """HaarWavelets entry (:385-426).  Returns breakpoint bin indices."""
+    ratio = np.asarray(ratio, dtype=np.float64)
+    tree, smooth = decompose(ratio)
+    median = stats.median(ratio)
+    variability = (median * coeff_variability if coeff_variability is not None
+                   else stats.mad(ratio))
+    threshold = mad_factor * variability
+    threshold = max(threshold, threshold_lower)
+    threshold = min(threshold, threshold_upper)
+    hard_threshold(tree, threshold, is_germline)
+    prelim = breakpoints_from_reconstruction(reconstruct(tree, smooth))
+    bps = heal_bad_splits(prelim, ratio, factor_of_three_cmads)
+    if is_germline:
+        bps = refine_segments(bps, ratio)
+    return bps
+
+
+def segment_coverage(
+    coverage_by_contig: dict[str, np.ndarray],
+    is_germline: bool,
+    coeff_variability: float | None,
+    factor_of_three_cmads: list[float],
+    mad_factor: float = DEFAULT_MAD_FACTOR,
+    threshold_lower: float = 0.05,   # thresholdLowerMaf quirk, WaveletsRunner.cs:35
+    threshold_upper: float = 80.0,
+    min_size: int = 10,
+) -> dict[str, list[int]]:
+    """LaunchWavelets over all contigs (WaveletsRunner.cs:83-139).
+
+    Note the reference passes thresholdLowerMaf (0.05) as ThresholdLower
+    for coverage too (WaveletsRunnerParams ctor, :35) — reproduced.
+    """
+    out: dict[str, list[int]] = {}
+    for name, cov in coverage_by_contig.items():
+        cov = np.asarray(cov, dtype=np.float64)
+        if max(len(cov), 1) > min_size:
+            out[name] = haar_wavelets(
+                cov, threshold_lower, threshold_upper, is_germline,
+                mad_factor, coeff_variability, factor_of_three_cmads)
+        else:
+            out[name] = []
+    return out
