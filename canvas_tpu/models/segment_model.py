@@ -62,6 +62,10 @@ class Segment:
         default_factory=lambda: np.zeros(0, np.float32))
     baf_total_coverage: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.int32))
+    baf_count_a: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))
+    baf_count_b: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int32))
     copy_number: int = -1
     second_best_copy_number: int = -1
     major_chromosome_count: int | None = None
@@ -148,6 +152,8 @@ class Segment:
                 [other.baf_frequencies, self.baf_frequencies])
             self.baf_total_coverage = np.concatenate(
                 [other.baf_total_coverage, self.baf_total_coverage])
+            self.baf_count_a = np.concatenate([other.baf_count_a, self.baf_count_a])
+            self.baf_count_b = np.concatenate([other.baf_count_b, self.baf_count_b])
         if other.end > self.end:
             self.end_ci = other.end_ci
             self.end = other.end
@@ -156,6 +162,8 @@ class Segment:
                 [self.baf_frequencies, other.baf_frequencies])
             self.baf_total_coverage = np.concatenate(
                 [self.baf_total_coverage, other.baf_total_coverage])
+            self.baf_count_a = np.concatenate([self.baf_count_a, other.baf_count_a])
+            self.baf_count_b = np.concatenate([self.baf_count_b, other.baf_count_b])
 
 
 def merge_segments(
