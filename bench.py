@@ -27,7 +27,7 @@ def main():
     import jax.numpy as jnp
 
     from canvas_tpu.ops import hmm
-    from canvas_tpu.pipeline.device_pipeline import segmentation_step
+    from canvas_tpu.ops.viterbi_pallas import viterbi_decode_pallas
 
     B, T, D, S = 24, 512 * 1024, 1, 5
     rng = np.random.default_rng(0)
@@ -46,17 +46,29 @@ def main():
     log_trans = np.asarray(hmm.log_transition(S), np.float32)
     log_init = np.log(np.full(S, 1.0 / S, np.float32))
 
-    args = (jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(log_tables),
-            jnp.asarray(log_trans), jnp.asarray(log_init))
+    logt = jnp.asarray(log_tables)
+    covj, maskj = jnp.asarray(cov), jnp.asarray(mask)
+
+    import jax.numpy as _jnp
+
+    @jax.jit
+    def emission(c, m):
+        idx = _jnp.clip(_jnp.rint(c).astype(_jnp.int32), 0, V - 1)
+        f = _jnp.take_along_axis(
+            logt[None, None], idx[:, :, None, :, None], axis=-1)[..., 0]
+        return _jnp.where(m[..., None], f[..., 0], 0.0)
+
+    def step(c, m):
+        return viterbi_decode_pallas(emission(c, m), log_trans, log_init, m)
 
     # warmup/compile
-    out = segmentation_step(*args)
+    out = step(covj, maskj)
     out.block_until_ready()
 
-    n_iters = 3
+    n_iters = 5
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = segmentation_step(*args)
+        out = step(covj, maskj)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
 

@@ -257,6 +257,11 @@ def viterbi_decode_chunked(
          at once; chunk-end states resolve by a reverse pointer chase over
          chunk boundary maps.
     Output matches viterbi_decode / viterbi_decode_scan exactly.
+
+    TPU layout note: all in-chunk state is kept lane-LAST ([S, L] and
+    [S, S, L] with L = B * n_chunks) so the S and S x S loops unroll into
+    full-width vector ops instead of padding tiny trailing (5, 5) dims to
+    (8, 128) hardware tiles (a ~40x waste measured on v5e).
     """
     B, T, S = log_em.shape
     pad = (-T) % chunk
@@ -265,89 +270,107 @@ def viterbi_decode_chunked(
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
     Tp = T + pad
     nC = Tp // chunk
-    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG_INF)
+    L = B * nC
 
-    em = log_em.reshape(B, nC, chunk, S)
-    mk = mask.reshape(B, nC, chunk)
-    # step matrices including the initial-distribution fold at t=0
-    def step_matrix(e, m, is_t0):
-        mat = jnp.where(is_t0[..., None, None],
-                        jnp.broadcast_to((log_init + e)[..., None, :],
-                                         e.shape[:-1] + (S, S)),
-                        log_trans + e[..., None, :])
-        return jnp.where(m[..., None, None], mat, eye)
-
+    # [B, nC, chunk, S] -> [chunk, S, B, nC] -> [chunk, S, L]
+    em = jnp.transpose(log_em.reshape(B, nC, chunk, S), (2, 3, 0, 1))
+    em = em.reshape(chunk, S, L)
+    mk = jnp.transpose(mask.reshape(B, nC, chunk), (2, 0, 1)).reshape(chunk, L)
     t_idx = jnp.arange(Tp).reshape(nC, chunk)
-    is_t0 = (t_idx == 0)[None].repeat(B, axis=0)
+    is_t0 = jnp.broadcast_to((t_idx == 0).T[:, None, :], (chunk, B, nC))
+    is_t0 = is_t0.reshape(chunk, L)
+    lt = [[log_trans[i, j] for j in range(S)] for i in range(S)]
+    li = [log_init[j] for j in range(S)]
 
-    # phase 1: chunk transfer matrices  [B, nC, S, S]
+    def advance_matrix(M, e, m, t0):
+        """M' = M (x) step for one time step; all [S][S] python-unrolled
+        lists of [L] vectors."""
+        out = []
+        for i in range(S):
+            row = []
+            for j in range(S):
+                # max over k of M[i][k] + trans[k][j]  (regular step)
+                acc = M[i][0] + lt[0][j]
+                for k in range(1, S):
+                    acc = jnp.maximum(acc, M[i][k] + lt[k][j])
+                reg = acc + e[j]
+                # t=0 fold: rows all equal init+em
+                t0v = li[j] + e[j]
+                ident = M[i][j]
+                val = jnp.where(m, jnp.where(t0, t0v, reg), ident)
+                row.append(val)
+            out.append(row)
+        return out
+
+    # phase 1: chunk transfer matrices
     def p1(carry, inp):
-        e, m, t0 = inp                       # [B,nC,S], [B,nC], [B,nC]
-        mat = step_matrix(e, m, t0)
-        return _maxplus_combine(carry, mat), None
+        e, m, t0 = inp                              # [S,L], [L], [L]
+        M = [[carry[i, j] for j in range(S)] for i in range(S)]
+        M2 = advance_matrix(M, e, m, t0)
+        return jnp.stack([jnp.stack(r) for r in M2]), None
 
-    init_mat = jnp.broadcast_to(eye, (B, nC, S, S))
-    xs = (jnp.moveaxis(em, 2, 0), jnp.moveaxis(mk, 2, 0),
-          jnp.moveaxis(is_t0, 2, 0))
-    chunk_mats, _ = jax.lax.scan(p1, init_mat, xs)
+    eye_l = jnp.where(jnp.eye(S, dtype=bool)[..., None], 0.0, NEG_INF)
+    init_mat = jnp.broadcast_to(eye_l, (S, S, L))
+    chunk_mats, _ = jax.lax.scan(p1, init_mat, (em, mk, is_t0))  # [S,S,L]
 
-    # phase 2: prefix products over chunks -> chunk-start scores
-    prefix = jax.lax.associative_scan(_maxplus_combine, chunk_mats, axis=1)
-    scores_end = jnp.max(prefix, axis=-2)            # [B, nC, S] scores at chunk ends
-    # score vector at the START of chunk c = scores_end[c-1]; chunk 0 starts
-    # from a neutral vector (the t=0 fold handles init)
+    # phase 2: prefix products over chunks (small: [B, nC, S, S])
+    cm = jnp.transpose(chunk_mats.reshape(S, S, B, nC), (2, 3, 0, 1))
+    prefix = jax.lax.associative_scan(_maxplus_combine, cm, axis=1)
+    scores_end = jnp.max(prefix, axis=-2)            # [B, nC, S]
     start_scores = jnp.concatenate(
         [jnp.zeros((B, 1, S)), scores_end[:, :-1]], axis=1)
+    ss = jnp.transpose(start_scores, (2, 0, 1)).reshape(S, L)
 
-    # phase 3: in-chunk forward, recording backpointers
+    # phase 3: in-chunk forward with backpointers, carry [S, L]
     def p3(carry, inp):
         e, m, t0 = inp
-        mat = step_matrix(e, m, t0)                  # [B,nC,S,S]
-        cand = carry[..., :, None] + mat             # [B,nC,S,S]
-        new = jnp.max(cand, axis=-2)
-        bp = jnp.argmax(cand, axis=-2).astype(jnp.int32)
-        return new, bp
+        news, bps_ = [], []
+        for j in range(S):
+            acc = carry[0] + lt[0][j]
+            arg = jnp.zeros_like(carry[0], dtype=jnp.int32)
+            for i in range(1, S):
+                cand = carry[i] + lt[i][j]
+                better = cand > acc
+                acc = jnp.maximum(acc, cand)
+                arg = jnp.where(better, i, arg)
+            reg = acc + e[j]
+            t0v = li[j] + e[j]
+            new_j = jnp.where(m, jnp.where(t0, t0v, reg), carry[j])
+            bp_j = jnp.where(m & ~t0, arg, j)
+            news.append(new_j)
+            bps_.append(bp_j)
+        return jnp.stack(news), jnp.stack(bps_)
 
-    _, bps = jax.lax.scan(p3, start_scores, xs)      # bps [chunk,B,nC,S]
+    _, bps = jax.lax.scan(p3, ss, (em, mk, is_t0))   # bps [chunk, S, L]
 
-    # phase 4a: backtrack all S chunk-end states within each chunk.
-    # state path: state_t = bp[t][state_{t+1}] walking down from the end.
+    # phase 4a: backtrack all S assumed chunk-end states; carry [S, L] int32
     def p4(carry, bp):
-        # carry: [B,nC,S] current state for each assumed chunk-end state
-        prev = jnp.take_along_axis(bp, carry, axis=-1)
+        prev = jnp.take_along_axis(bp, carry, axis=0)
         return prev, carry
 
     end_states = jnp.broadcast_to(
-        jnp.arange(S, dtype=jnp.int32), (B, nC, S))
-    # walk t = chunk-1 .. 1 consuming bps[t]; emit state at t
+        jnp.arange(S, dtype=jnp.int32)[:, None], (S, L))
     first_state, path_tail = jax.lax.scan(
         p4, end_states, bps[1:], reverse=True)
-    # paths_all[t] for t=0: first_state (after consuming bps[1])
     paths_all = jnp.concatenate([first_state[None], path_tail], axis=0)
-    # chunk map: end-state -> start-state is bps[0] applied to first_state:
-    # state before the chunk's first transition lives in the previous chunk;
-    # bps[0] maps into the previous chunk's end state.
-    prev_end = jnp.take_along_axis(bps[0], first_state, axis=-1)  # [B,nC,S]
+    prev_end = jnp.take_along_axis(bps[0], first_state, axis=0)  # [S, L]
 
-    # phase 4b: resolve actual chunk-end states right-to-left
+    # phase 4b: resolve chunk-end states right-to-left (host-scale loop)
     last_end = jnp.argmax(scores_end[:, -1], axis=-1).astype(jnp.int32)  # [B]
+    pe = jnp.transpose(prev_end.reshape(S, B, nC), (2, 1, 0))    # [nC, B, S]
 
-    def p4b(carry, pe):
-        # pe: prev_end for chunk c [B,S]; carry: end state of chunk c [B]
-        prev = jnp.take_along_axis(pe, carry[:, None], axis=-1)[:, 0]
+    def p4b(carry, pe_c):
+        prev = jnp.take_along_axis(pe_c, carry[:, None], axis=-1)[:, 0]
         return prev, carry
 
-    pe_seq = jnp.moveaxis(prev_end, 1, 0)            # [nC, B, S]
-    _, chunk_end_states = jax.lax.scan(p4b, last_end, pe_seq, reverse=True)
-    chunk_end_states = jnp.moveaxis(chunk_end_states, 0, 1)  # [B, nC]
+    _, chunk_end_states = jax.lax.scan(p4b, last_end, pe, reverse=True)
+    chunk_end_states = jnp.moveaxis(chunk_end_states, 0, 1)       # [B, nC]
 
-    # gather per-step states for the realized end state of each chunk
-    sel = chunk_end_states[None, :, :, None]          # [1,B,nC,1]
-    states = jnp.take_along_axis(
-        paths_all, jnp.broadcast_to(sel, paths_all.shape[:-1] + (1,)),
-        axis=-1)[..., 0]                              # [chunk, B, nC]
-    states = jnp.moveaxis(states, 0, 2).reshape(B, Tp)
-    return states[:, :T].astype(jnp.int32)
+    # gather realized paths: paths_all [chunk, S, L] -> [chunk, L]
+    sel = chunk_end_states.reshape(1, 1, L)
+    states = jnp.take_along_axis(paths_all, sel, axis=1)[:, 0]    # [chunk, L]
+    states = jnp.transpose(states.reshape(chunk, B, nC), (1, 2, 0))
+    return states.reshape(B, Tp)[:, :T].astype(jnp.int32)
 
 
 def viterbi_decode_scan(log_em, log_trans, log_init, mask):

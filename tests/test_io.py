@@ -1,0 +1,146 @@
+"""BAM/FASTA/SNV I/O tests with synthetic files."""
+
+import numpy as np
+import pytest
+
+from canvas_tpu.genome import reference as ref
+from canvas_tpu.genome.contigs import ContigTable
+from canvas_tpu.io import bam as bamio
+from canvas_tpu.io import snv
+
+
+def make_record(pos, flag=0x2 | 0x1, cigar=((50, "M"),), seq=None, mapq=50,
+                quals=None, ref_id=0, name="r"):
+    seq = seq or "A" * sum(l for l, op in cigar if op in "MIS=X")
+    qual = np.asarray(quals if quals is not None else [30] * len(seq),
+                      dtype=np.uint8)
+    return bamio.BamRecord(ref_id, pos, mapq, flag, name, list(cigar), seq,
+                           qual, -1, -1, 300)
+
+
+def test_bam_roundtrip(tmp_path):
+    refs = [("chr1", 10000), ("chr2", 5000)]
+    records = [make_record(100), make_record(200, flag=0x10),
+               make_record(300, ref_id=1)]
+    path = tmp_path / "t.bam"
+    bamio.write_bam(path, refs, records)
+    back = bamio.BamFile.read(path)
+    assert back.refs == refs
+    got = list(back.records())
+    assert len(got) == 3
+    assert got[0].pos == 100 and got[0].cigar == [(50, "M")]
+    assert got[1].flag == 0x10
+    assert got[2].ref_id == 1
+    assert got[0].seq == "A" * 50
+
+
+def test_canvas_bin_filter():
+    ok = make_record(10)
+    assert ok.passes_canvas_bin_filter(paired_end=True)
+    assert not make_record(10, flag=0x2 | 0x1 | 0x10).passes_canvas_bin_filter(True)   # reverse
+    assert not make_record(10, flag=0x2 | 0x1 | 0x400).passes_canvas_bin_filter(True)  # dup
+    assert not make_record(10, flag=0x2 | 0x1 | 0x100).passes_canvas_bin_filter(True)  # secondary
+    assert not make_record(10, flag=0x1).passes_canvas_bin_filter(True)   # not proper pair
+    # single-end: proper-pair not required
+    assert make_record(10, flag=0x1).passes_canvas_bin_filter(False)
+    assert make_record(10, flag=0).passes_canvas_bin_filter(False)
+    # CIGAR must start with >= 35M
+    assert not make_record(10, cigar=((34, "M"), (16, "S"))).passes_canvas_bin_filter(True)
+    assert not make_record(10, cigar=((10, "S"), (40, "M"))).passes_canvas_bin_filter(True)
+
+
+def test_read_start_counts(tmp_path):
+    refs = [("chr1", 1000)]
+    records = [make_record(100), make_record(100), make_record(100),
+               make_record(200), make_record(300, flag=0x10)]
+    path = tmp_path / "t.bam"
+    bamio.write_bam(path, refs, records)
+    bam = bamio.BamFile.read(path)
+    observed, frag = bamio.read_start_counts(bam, "chr1")
+    assert observed[100] == 3
+    assert observed[200] == 1
+    assert observed[300] == 0  # reverse strand filtered
+
+
+def test_fasta_tracks(tmp_path):
+    seqs = {"chr1": "nnnACGtacGTn", "chr2": "NNNNAAAA"}
+    p = tmp_path / "kmer.fa"
+    ref.write_fasta(p, seqs)
+    contigs, tracks = ref.load_reference_tracks(p)
+    assert contigs.names == ("chr1", "chr2")
+    t = tracks["chr1"]
+    assert t["offset"] == 3
+    # uppercase = possible: A C G at 3..5, G T at 9, 10
+    np.testing.assert_array_equal(
+        np.flatnonzero(t["possible"]), [3, 4, 5, 9, 10])
+    # gc (any of G/g/C/c): C(4), G(5), c(8), G(9)
+    np.testing.assert_array_equal(
+        np.flatnonzero(t["is_gc"]), [4, 5, 8, 9])
+    # chr2: leading 'N' (uppercase) does NOT trigger the lowercase-n skip
+    assert tracks["chr2"]["offset"] == 0
+    assert not tracks["chr2"]["possible"][:4].any()
+
+
+def test_snv_pileup(tmp_path):
+    refs = [("chr1", 1000)]
+    # reads covering position 100 (0-based); site at VCF pos 101
+    rec1 = make_record(90, seq="A" * 10 + "C" + "A" * 39)  # C at pos 100
+    rec2 = make_record(95, seq="A" * 5 + "T" + "A" * 44)   # T at pos 100
+    rec3 = make_record(90, seq="A" * 10 + "C" + "A" * 39,
+                       quals=[30] * 10 + [10] + [30] * 39)  # low qual at site
+    path = tmp_path / "t.bam"
+    bamio.write_bam(path, refs, [rec1, rec2, rec3])
+    bam = bamio.BamFile.read(path)
+    sites = [snv.SnvSite("chr1", 101, "T", "C")]
+    out = snv.pileup_counts(bam, "chr1", sites)
+    assert out[0].count_alt == 1   # one good C
+    assert out[0].count_ref == 1   # one good T
+
+
+def test_load_het_snvs(tmp_path):
+    vcf = tmp_path / "n.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+        "chr1\t100\t.\tA\tC\t50\tPASS\t.\tGT:GQX\t0/1:99",
+        "chr1\t200\t.\tA\tC\t50\tLowQ\t.\tGT:GQX\t0/1:99",    # filtered
+        "chr1\t300\t.\tA\tCT\t50\tPASS\t.\tGT:GQX\t0/1:99",   # not SNV
+        "chr1\t400\t.\tA\tC\t50\tPASS\t.\tGT:GQX\t1/1:99",    # hom alt
+        "chr1\t500\t.\tA\tC\t50\tPASS\t.\tGT:GQX\t0/1:10",    # low GQX
+        "chr2\t100\t.\tA\tC\t50\tPASS\t.\tGT:GQX\t0/1:99",
+    ]) + "\n")
+    germline = snv.load_het_snvs(vcf, "chr1", "S1", is_somatic=False)
+    assert [s.position for s in germline] == [100, 400, 500]
+    somatic = snv.load_het_snvs(vcf, "chr1", "S1", is_somatic=True)
+    assert [s.position for s in somatic] == [100]
+
+
+def test_b_allele_preference():
+    # ref T, alt G: preference T(1) < G(2) -> baf = ref fraction
+    s = snv.SnvSite("chr1", 1, "T", "G", count_ref=30, count_alt=10)
+    assert snv.b_allele_frequency(s) == pytest.approx(0.75)
+    # ref C, alt A: A(0) < C(3) -> baf = alt fraction
+    s = snv.SnvSite("chr1", 1, "C", "A", count_ref=30, count_alt=10)
+    assert snv.b_allele_frequency(s) == pytest.approx(0.25)
+    assert snv.b_allele_frequency(snv.SnvSite("chr1", 1, "A", "C")) is None
+
+
+def test_read_frequencies(tmp_path):
+    p = tmp_path / "vf.txt"
+    p.write_text(
+        "#Chromosome\tPosition\tRef\tAlt\tCountRef\tCountAlt\n"
+        "chr1\t150\tA\tC\t20\t22\n"
+        "chr1\t250\tA\tC\t3\t2\n"      # below min counts
+        "chr1\t350\tA\tC\t15\t18\n")
+    intervals = {"chr1": [(100, 200), (300, 400)]}
+    out = snv.read_frequencies(p, intervals)
+    assert out["chr1"][0] == [(150, 20, 22)]
+    assert out["chr1"][1] == [(350, 15, 18)]
+
+
+def test_frequency_roundtrip(tmp_path):
+    sites = [snv.SnvSite("chr1", 100, "A", "C", 10, 12)]
+    p = tmp_path / "vf.txt.gz"
+    snv.write_frequencies(p, sites)
+    out = snv.read_frequencies(p, {"chr1": [(0, 1000)]})
+    assert out["chr1"][0] == [(100, 10, 12)]

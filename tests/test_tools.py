@@ -1,0 +1,140 @@
+"""EvaluateCNV and FlagUniqueKmers tests."""
+
+import numpy as np
+import pytest
+
+from canvas_tpu.tools import evaluate_cnv as ec
+from canvas_tpu.tools import flag_unique_kmers as fk
+from canvas_tpu.genome.reference import read_fasta, write_fasta
+
+
+def test_metrics_perfect_calls(tmp_path):
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t2000\t1\nchr1\t5000\t6000\t3\n")
+    vcf = tmp_path / "calls.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tCanvas:LOSS:chr1:1001-2000\tN\t<CN0>\t30\tPASS\tSVTYPE=CNV;END=2000\tGT:CN:QS:FT\t0/1:1:30:PASS",
+        "chr1\t2001\tCanvas:REF:chr1:2001-5000\tN\t.\t30\tPASS\tEND=5000\tGT:CN:QS:FT\t./.:2:30:PASS",
+        "chr1\t5000\tCanvas:GAIN:chr1:5001-6000\tN\t<CN3>\t30\tPASS\tSVTYPE=CNV;END=6000\tGT:CN:QS:FT\t./1:3:30:PASS",
+    ]) + "\n")
+    m = ec.evaluate(truth, vcf)
+    assert m.recall == pytest.approx(100.0)
+    assert m.precision == pytest.approx(100.0)
+    assert m.accuracy == pytest.approx(100.0)
+    assert m.f1 == pytest.approx(1.0)
+
+
+def test_metrics_partial_overlap(tmp_path):
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t2000\t1\n")
+    vcf = tmp_path / "calls.vcf"
+    # call only covers half the deletion; rest of truth has no call
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tCanvas:LOSS:chr1:1001-1500\tN\t<CN0>\t30\tPASS\tSVTYPE=CNV;END=1500\tGT:CN:QS:FT\t0/1:1:30:PASS",
+    ]) + "\n")
+    m = ec.evaluate(truth, vcf)
+    assert m.recall == pytest.approx(50.0)
+    assert m.precision == pytest.approx(100.0)
+
+
+def test_metrics_false_positive(tmp_path):
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t2000\t2\n")  # truth says normal
+    vcf = tmp_path / "calls.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tCanvas:LOSS:chr1:1001-2000\tN\t<CN0>\t30\tPASS\tSVTYPE=CNV;END=2000\tGT:CN:QS:FT\t0/1:1:30:PASS",
+    ]) + "\n")
+    m = ec.evaluate(truth, vcf)
+    assert m.precision == pytest.approx(0.0)
+    assert m.accuracy == pytest.approx(0.0)
+
+
+def test_exclusion_regions(tmp_path):
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t2000\t1\n")
+    excl = tmp_path / "excl.bed"
+    excl.write_text("chr1\t1000\t1500\n")
+    vcf = tmp_path / "calls.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tCanvas:LOSS:chr1:1001-2000\tN\t<CN0>\t30\tPASS\tSVTYPE=CNV;END=2000\tGT:CN:QS:FT\t0/1:1:30:PASS",
+    ]) + "\n")
+    truth_d = ec.load_truth_bed(truth)
+    calls = ec.load_cnv_calls(vcf)
+    counter = ec.BaseCounter()
+    ec.count_bases(truth_d, calls, counter, ec.load_exclude_bed(excl))
+    # only 500 unexcluded bases counted
+    assert counter.base_count[1, 1, 2] == 500
+
+
+def test_dq_threshold_filter(tmp_path):
+    vcf = tmp_path / "calls.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tx\tN\t<CN0>\t30\tPASS\tEND=2000\tGT:CN:QS:FT:DQ\t0/1:1:30:PASS:25.0",
+        "chr1\t3000\tx\tN\t<CN0>\t30\tPASS\tEND=4000\tGT:CN:QS:FT:DQ\t0/1:1:30:PASS:5.0",
+        "chr1\t5000\tx\tN\t<CN0>\t30\tPASS\tEND=6000\tGT:CN:QS:FT\t0/1:1:30:PASS",
+    ]) + "\n")
+    calls = ec.load_cnv_calls(vcf, dq_threshold=20.0)
+    assert len(calls["chr1"]) == 1
+    assert calls["chr1"][0].start == 1000
+
+
+def test_flag_unique_kmers(tmp_path, rng):
+    # random 200bp sequence: nearly all 35-mers unique; add an exact repeat
+    seq = "".join(rng.choice(list("ACGT"), size=200))
+    repeat = seq[:40]
+    genome = {"chr1": seq + repeat}  # 35-mers inside the repeat occur twice
+    fa = tmp_path / "genome.fa"
+    write_fasta(fa, genome)
+    out_fa = tmp_path / "kmer.fa"
+    masks = fk.flag_unique_kmers(fa, out_fa)
+    m = masks["chr1"]
+    # positions 0..5 are inside the repeated 40bp prefix -> not unique
+    assert not m[:6].any()
+    # middle positions unique
+    assert m[60:100].all()
+    # output fasta case encodes the mask
+    back = read_fasta(out_fa)["chr1"]
+    upp = (back >= 65) & (back <= 90)
+    np.testing.assert_array_equal(upp, m)
+
+
+def test_kmers_with_n(tmp_path, rng):
+    seq = "".join(rng.choice(list("ACGT"), size=100))
+    seq = seq[:50] + "N" + seq[51:]
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, {"c": seq})
+    masks = fk.flag_unique_kmers(fa, tmp_path / "k.fa")
+    # windows covering the N (starts 16..50) are not unique
+    assert not masks["c"][16:51].any()
+    assert masks["c"][0:10].all()
+
+
+def test_kmers_multipass_same_result(tmp_path, rng):
+    seq = "".join(rng.choice(list("ACGT"), size=300))
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, {"c": seq})
+    m1 = fk.flag_unique_kmers(fa, tmp_path / "k1.fa", n_passes=1)
+    m3 = fk.flag_unique_kmers(fa, tmp_path / "k2.fa", n_passes=3)
+    np.testing.assert_array_equal(m1["c"], m3["c"])
+
+
+def test_revcomp_canonicalization(tmp_path):
+    # a sequence plus its reverse complement: every kmer has a mirror
+    fwd = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTA"  # 37bp
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(fwd))
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, {"c": fwd + "CCCCCCCCCC" + rc})
+    masks = fk.flag_unique_kmers(fa, tmp_path / "k.fa")
+    # kmers fully inside fwd have their RC counterpart -> not unique
+    assert not masks["c"][0:3].any()
