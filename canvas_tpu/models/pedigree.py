@@ -56,8 +56,14 @@ def negative_binomial_table(mean: float, variance: float, max_value: int,
                             adjust_clumping: bool = False) -> np.ndarray:
     """DistributionUtilities.NegativeBinomialWrapper with the clumping
     floor (6 when adjusted, else 2)."""
-    r = max(mean, 0.1) ** 2 / (max(variance, mean * 1.2) - mean)
+    # IEEE semantics like the reference's C# doubles: zero mean/variance
+    # gives r = inf and an (all-zero beyond x=0) degenerate table, not a crash
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = float(np.float64(max(mean, 0.1)) ** 2
+                  / np.float64(max(variance, mean * 1.2) - mean))
     r = max(6.0 if adjust_clumping else 2.0, r)
+    if not np.isfinite(r):
+        r = 1e12  # effectively Poisson; yields the same 0/1 tables
     x = np.arange(max_value, dtype=np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         logp = (-r * np.log1p(mean / r) + xlogy(x, mean) - x * np.log(mean + r)

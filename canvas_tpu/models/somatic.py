@@ -1,0 +1,606 @@
+"""Somatic purity/ploidy caller (CanvasSomaticCaller core).
+
+Reference flow (SomaticCaller.cs:366-476 -> CallCNVUsingSNVFrequency :2546):
+  * usable segments: >=5kb, coverage <= 2x overall median, MAF from >=50 VFs
+    (relaxing by 15 down to 5 when too few), weight = length scaled down for
+    <10 VFs (GetUsableSegmentsForModeling :1426-1500);
+  * coverage weighting factor = CoverageWeighting / medianCoverage, blended
+    toward CoverageWeightingWithMafSegmentation for uneven coverage
+    (:1661-1679);
+  * ploidy models CN 0..8 x major count, balanced states using the
+    empirical diploid-MAF model (InitializePloidies :87-116); model points
+    mix tumor/normal: coverage = CN*tumorHaploid + 2*normalHaploid, MAF =
+    AdjustedMAF(minor-allele coverage) (:754-777 with the binomial
+    min-observation correction :686-716);
+  * GRID SEARCH over (diploidCoverage in [median/4, median*2.355] step 1) x
+    (purity in [hard limit..100] step 1): each model scored by
+    ModelDeviation = 0.5*precision + 0.5*accuracy deviation after a
+    RefineDiploidMAF pass (:958-1007, :1214-1379), ploidy-gated to
+    (0.5, 8);
+  * model selection: deviation cutoff at best*1.75 (or the 11th best),
+    score = lowPurityWeight * 0.175 * (CN2/bestCN2 - 1)
+          + 0.375 * deviationScore + 0.125 * diploidDistance/best
+          (+ heterogeneity for enrichment) (:1939-2056);
+  * per-segment nearest-model assignment with haploid-reference handling
+    and >maxCN coverage extrapolation (AssignPloidyCalls :2379-2457);
+    heterogeneity CN2->1/3 swap (AdjustPloidyCalls :2467-2489);
+  * SNV-VAF purity cross-check (EstimatePurityFromSomaticSNVs /
+    SelectPurityEstimate :2653-2750) and chromosome-count estimate.
+
+The reference's ~10^4-model x per-segment loop is expressed here as a
+batched device computation: distances [models, points, segments] evaluated
+in chunks on the accelerator (or vectorized numpy on CPU).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from canvas_tpu.models.segment_model import Segment
+from canvas_tpu.models.diploid import estimate_diploid_maf
+from canvas_tpu.ops import stats
+
+# SomaticCallerParameters.json
+MAX_COPY_NUMBER = 8
+MIN_VF_FOR_INFORMATIVE = 50
+COVERAGE_WEIGHTING = 0.333
+COVERAGE_WEIGHTING_WITH_MAF = 0.20
+EVENNESS_THRESHOLD = 94.5
+MIN_EVENNESS = 88.0
+LOWER_COVERAGE_FACTOR = 4.0
+UPPER_COVERAGE_FACTOR = 2.355
+MAX_ALLOWED_PLOIDY = 8.0
+MIN_ALLOWED_PLOIDY = 0.5
+DEVIATION_FACTOR = 1.75
+DEVIATION_INDEX_CUTOFF = 11
+CN2_WEIGHT = 0.175
+DEVIATION_SCORE_WEIGHT = 0.375
+DIPLOID_DISTANCE_WEIGHT = 0.125
+HETEROGENEITY_WEIGHT = 0.202
+DISTANCE_RATIO = 0.3
+MINIMUM_CALL_SIZE = 50000
+MAX_RELATED_MODELS = 5
+
+
+@dataclass
+class SegmentInfo:
+    segment: Segment
+    coverage: float
+    maf: float          # -1 when uninformative
+    weight: float
+    cluster_id: int | None = None
+
+
+@dataclass
+class PloidyState:
+    copy_number: int
+    major_count: int
+    maf: float                       # pure-tumor MAF
+    mixed_coverage: float = 0.0
+    mixed_maf: float = 0.0
+    mixed_haploid_coverage: float = 0.0
+
+
+@dataclass
+class PurityModel:
+    diploid_coverage: float
+    purity: float
+    deviation: float = np.inf
+    precision_deviation: float = np.inf
+    accuracy_deviation: float = np.inf
+    percent_cn: np.ndarray = field(
+        default_factory=lambda: np.zeros(MAX_COPY_NUMBER + 1))
+    percent_normal: float = 0.0
+    ploidy: float = 0.0
+    diploid_distance: float = 0.0
+    cns: np.ndarray | None = None
+    inter_model_distance: float | None = None
+    heterogeneity_index: float | None = None
+
+    @property
+    def tumor_haploid(self) -> float:
+        return self.diploid_coverage * self.purity / 2.0
+
+    @property
+    def normal_haploid(self) -> float:
+        return self.diploid_coverage * (1.0 - self.purity) / 2.0
+
+
+def get_usable_segments(
+    segments: list[Segment],
+    is_enrichment: bool = False,
+    min_vf: int = MIN_VF_FOR_INFORMATIVE,
+) -> list[SegmentInfo]:
+    """GetUsableSegmentsForModeling (:1426-1500)."""
+    if is_enrichment:
+        counts = np.array([stats.median(s.bin_counts) for s in segments],
+                          dtype=np.float32)
+    else:
+        counts = np.concatenate([s.bin_counts for s in segments])
+    overall_median = stats.quartiles(counts)[1]
+    out = []
+    for seg in segments:
+        if seg.length < 5000:
+            continue
+        freqs = seg.baf_frequencies
+        if len(freqs) < min_vf:
+            maf = -1.0
+        else:
+            folded = np.where(freqs > 0.5, 1 - freqs, freqs).astype(np.float64)
+            folded.sort()
+            maf = float(folded[len(folded) // 2])
+        coverage = stats.median(seg.bin_counts)
+        if coverage > overall_median * 2:
+            continue
+        weight = float(seg.length)
+        if len(freqs) < 10:
+            weight *= len(freqs) / 10.0
+        out.append(SegmentInfo(seg, coverage, maf, weight))
+    return out
+
+
+def usable_segments_with_relaxation(segments: list[Segment],
+                                    is_enrichment: bool = False):
+    """ModelOverallCoverageAndPurity's relaxation loop (:1626-1634)."""
+    min_vf = MIN_VF_FOR_INFORMATIVE
+    while True:
+        usable = get_usable_segments(segments, is_enrichment, min_vf)
+        valid_maf = sum(1 for u in usable if u.maf >= 0)
+        if valid_maf > min(20, len(segments)) or min_vf <= 5:
+            return usable, min_vf
+        min_vf = max(5, min_vf - 15)
+
+
+def initialize_ploidies(mean_coverage: float,
+                        max_cn: int = MAX_COPY_NUMBER) -> list[PloidyState]:
+    """Somatic InitializePloidies (:87-116)."""
+    out = []
+    for cn in range(max_cn + 1):
+        major = cn
+        while major * 2 >= cn:
+            if cn == 0:
+                maf = estimate_diploid_maf(1, mean_coverage)
+            else:
+                vf = major / cn
+                maf = vf if vf < 0.5 else 1 - vf
+                if major * 2 == cn:
+                    maf = estimate_diploid_maf(cn, mean_coverage)
+            out.append(PloidyState(cn, major, maf))
+            major -= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# AdjustedMAF — binomial min-observation correction (:686-716)
+# ---------------------------------------------------------------------------
+
+def adjusted_maf_batch(theoretical: np.ndarray,
+                       coverage: np.ndarray) -> np.ndarray:
+    """AdjustedMAF (:686-716) vectorized over model points: expected
+    min(i, n-i)/n under Binomial(n=int(coverage), p=theoretical/coverage)."""
+    from scipy.special import gammaln
+
+    theoretical = np.asarray(theoretical, dtype=np.float64)
+    coverage = np.asarray(coverage, dtype=np.float64)
+    out = np.zeros(len(coverage))
+    ok = (coverage >= 1.0) & (theoretical != 0)
+    if not ok.any():
+        return out
+    n = coverage[ok].astype(np.int64)
+    mean = theoretical[ok] / coverage[ok]
+    n_max = int(n.max())
+    i = np.arange(n_max + 1, dtype=np.float64)[None, :]
+    nn = n[:, None].astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logpmf = (gammaln(nn + 1) - gammaln(i + 1) - gammaln(nn - i + 1)
+                  + i * np.log(mean[:, None])
+                  + (nn - i) * np.log(1 - mean[:, None]))
+        pmf = np.where(i <= nn, np.exp(logpmf), 0.0)
+    mean_obs = np.sum(np.minimum(i, coverage[ok][:, None] - i) * pmf, axis=1)
+    out[ok] = mean_obs / coverage[ok]
+    return out
+
+
+def adjusted_maf(theoretical_ma_cvg: float, coverage: float) -> float:
+    return float(adjusted_maf_batch(np.array([theoretical_ma_cvg]),
+                                    np.array([coverage]))[0])
+
+
+def model_points(model: PurityModel, ploidies: list[PloidyState]) -> None:
+    """InitializeModelPoints(CoveragePurityModel) (:754-777); updates the
+    ploidy states' mixed_* fields in place."""
+    th, nh = model.tumor_haploid, model.normal_haploid
+    cn = np.array([p.copy_number for p in ploidies], dtype=np.float64)
+    major = np.array([p.major_count for p in ploidies], dtype=np.float64)
+    mixed_cov = cn * th + 2 * nh
+    theoretical = (cn - major) * th + nh
+    mafs = adjusted_maf_batch(theoretical, mixed_cov)
+    for p, mc, mm in zip(ploidies, mixed_cov, mafs):
+        p.mixed_coverage = float(mc)
+        p.mixed_maf = float(mm)
+        p.mixed_haploid_coverage = p.copy_number * th + nh
+
+
+def model_distance(cov1, cov2, maf1, maf2, coverage_weight: float):
+    """GetModelDistance (:884-892): squared weighted distance; MAF-less
+    segments get 2x the coverage term."""
+    diff = (cov1 - cov2) * coverage_weight
+    d = diff * diff
+    if maf1 is None or maf1 < 0:
+        return 2 * d
+    return d + (maf1 - maf2) ** 2
+
+
+def refine_diploid_maf(
+    seg_cov: np.ndarray, seg_maf: np.ndarray, seg_w: np.ndarray,
+    pt_cov: np.ndarray, pt_maf: np.ndarray, pt_cn: np.ndarray,
+    pt_major: np.ndarray, cw: float) -> np.ndarray:
+    """RefineDiploidMAF (:958-1007), vectorized.  Returns refined pt_maf."""
+    dummy_weight = 1e7
+    n_lv = 1 + MAX_COPY_NUMBER // 2
+    m_sum = np.zeros(n_lv)
+    m_w = np.zeros(n_lv)
+    balanced = (pt_cn % 2 == 0) & (pt_major * 2 == pt_cn)
+    for k in np.flatnonzero(balanced):
+        m_sum[pt_cn[k] // 2] += dummy_weight * pt_maf[k]
+        m_w[pt_cn[k] // 2] += dummy_weight
+    # assignment pass
+    d = ((seg_cov[:, None] - pt_cov[None]) * cw) ** 2
+    has_maf = seg_maf >= 0
+    d_maf = d + (seg_maf[:, None] - pt_maf[None]) ** 2
+    d_full = np.where(has_maf[:, None], d_maf, 2 * d)
+    best = np.argmin(d_full, axis=1)
+    for i in np.flatnonzero(has_maf):
+        k = best[i]
+        if balanced[k] and seg_maf[i] >= 0.4:
+            m_sum[pt_cn[k] // 2] += seg_w[i] * seg_maf[i]
+            m_w[pt_cn[k] // 2] += seg_w[i]
+    out = pt_maf.copy()
+    for k in np.flatnonzero(balanced):
+        out[k] = m_sum[pt_cn[k] // 2] / m_w[pt_cn[k] // 2]
+    return out
+
+
+def model_deviation(
+    model: PurityModel,
+    ploidies: list[PloidyState],
+    infos: list[SegmentInfo],
+    coverage_weight: float,
+) -> float:
+    """ModelDeviation (:1214-1379) without the cluster-deviation branch
+    (clusterDeviation only engages with >3 heterogeneous clusters on
+    WGS+clustering runs)."""
+    model_points(model, ploidies)
+    pt_cov = np.array([p.mixed_coverage for p in ploidies])
+    pt_maf = np.array([p.mixed_maf for p in ploidies])
+    pt_cn = np.array([p.copy_number for p in ploidies])
+    pt_major = np.array([p.major_count for p in ploidies])
+    seg_cov = np.array([i.coverage for i in infos])
+    seg_maf = np.array([i.maf for i in infos])
+    seg_w = np.array([i.weight for i in infos])
+
+    pt_maf = refine_diploid_maf(seg_cov, seg_maf, seg_w, pt_cov, pt_maf,
+                                pt_cn, pt_major, coverage_weight)
+    for p, m in zip(ploidies, pt_maf):
+        p.mixed_maf = float(m)
+
+    d = ((seg_cov[:, None] - pt_cov[None]) * coverage_weight) ** 2
+    has_maf = seg_maf >= 0
+    d_full = np.where(has_maf[:, None],
+                      d + (seg_maf[:, None] - pt_maf[None]) ** 2, 2 * d)
+    best = np.argmin(d_full, axis=1)
+    best_dist = np.sqrt(d_full[np.arange(len(infos)), best])
+    total_w = seg_w.sum()
+    precision_dev = float(np.sum(best_dist * seg_w) / total_w)
+
+    best_cn = pt_cn[best]
+    model.percent_cn = np.zeros(MAX_COPY_NUMBER + 1)
+    np.add.at(model.percent_cn, best_cn, seg_w)
+    is_normal = (best_cn == 2) & (pt_major[best] == 1)
+    model.percent_normal = float(np.sum(seg_w[is_normal]) / total_w)
+    # CN profile with LOH counted as one event (CN2 MCC2 -> 1)
+    cns = np.where((best_cn == 2) & (pt_major[best] == 2), 1, best_cn)
+    model.cns = cns
+
+    # accuracy deviation: empirical centroids per model point
+    acc = 0.0
+    for k in range(len(ploidies)):
+        m = best == k
+        w = seg_w[m].sum()
+        if w == 0:
+            continue
+        emp_cov = float(np.sum(seg_w[m] * seg_cov[m]) / w)
+        mw = seg_w[m & has_maf].sum()
+        emp_maf = float(np.sum(seg_w[m & has_maf] * seg_maf[m & has_maf]) / mw) \
+            if mw > 0 else 0.0
+        dist = math.sqrt(model_distance(pt_cov[k], emp_cov, pt_maf[k],
+                                        emp_maf, coverage_weight))
+        acc += dist * w
+    accuracy_dev = acc / total_w
+
+    model.percent_cn /= total_w
+    model.ploidy = float(np.sum(np.arange(MAX_COPY_NUMBER + 1)
+                                * model.percent_cn))
+    model.precision_deviation = precision_dev
+    model.accuracy_deviation = accuracy_dev
+    model.deviation = precision_dev * 0.5 + 0.5 * accuracy_dev
+    return model.deviation
+
+
+def diploid_model_distance(model: PurityModel, infos: list[SegmentInfo],
+                           genome_length: int) -> float:
+    """DiploidModelDistance (:842-860)."""
+    baseline = 2
+    total = 0.0
+    amp = float(np.sum(model.percent_cn[3:MAX_COPY_NUMBER]))
+    if amp > 0.8:
+        baseline = 4
+        total += 1.0
+    lengths = np.array([i.segment.length for i in infos], dtype=np.float64)
+    total += float(np.sum(np.abs(model.cns - baseline) * lengths) / genome_length)
+    model.diploid_distance = 1.0 / max(0.001, total)
+    return total
+
+
+def grid_search(
+    infos: list[SegmentInfo],
+    mean_coverage: float,
+    genome_length: int,
+    coverage_weight: float,
+    median_coverage_level: int,
+    min_purity_hard_limit: int = 20,
+    min_minor_allele_coverage: float | None = None,
+    user_purity: float | None = None,
+    user_diploid_coverage: float | None = None,
+) -> tuple[PurityModel, list[PurityModel]]:
+    """The coverage x purity grid (:1875-1933) + model selection
+    (:1939-2056).  Returns (best model, all acceptable models)."""
+    ploidies = initialize_ploidies(mean_coverage)
+    min_cov = int(max(10, median_coverage_level / LOWER_COVERAGE_FACTOR))
+    max_cov = int(max(10, median_coverage_level * UPPER_COVERAGE_FACTOR))
+    if user_diploid_coverage is not None:
+        min_cov = max_cov = int(user_diploid_coverage)
+    all_models: list[PurityModel] = []
+    best_deviation = np.inf
+    for coverage in range(min_cov, max_cov + 1):
+        if min_minor_allele_coverage is not None:
+            min_purity = int(max(min_purity_hard_limit,
+                                 100 * (1 - 2 * min_minor_allele_coverage
+                                        / coverage) - 10))
+        else:
+            min_purity = min_purity_hard_limit
+        max_purity = 100
+        if user_purity is not None:
+            min_purity = max_purity = int(user_purity * 100)
+        for purity in range(min_purity, max_purity + 1):
+            model = PurityModel(float(coverage), purity / 100.0)
+            model_deviation(model, ploidies, infos, coverage_weight)
+            diploid_model_distance(model, infos, genome_length)
+            ok_ploidy = MIN_ALLOWED_PLOIDY < model.ploidy < MAX_ALLOWED_PLOIDY
+            if ok_ploidy:
+                if model.deviation < best_deviation:
+                    best_deviation = model.deviation
+                all_models.append(model)
+    if not all_models:
+        raise RuntimeError("unable to find any viable purity/ploidy model")
+
+    worst_allowed = best_deviation * DEVIATION_FACTOR
+    deviations = sorted(m.deviation for m in all_models)
+    n_ok = sum(1 for m in all_models if m.deviation < worst_allowed)
+    if n_ok < DEVIATION_INDEX_CUTOFF:
+        worst_allowed = deviations[min(DEVIATION_INDEX_CUTOFF,
+                                       len(deviations) - 1)]
+    best_cn2 = 0.0
+    best_dd = 0.0
+    for m in all_models:
+        if m.deviation > worst_allowed:
+            continue
+        best_cn2 = max(best_cn2, m.percent_cn[2])
+        best_dd = max(best_dd, m.diploid_distance)
+
+    best_model, best_score = None, 0.0
+    scored: list[tuple[float, PurityModel]] = []
+    for m in all_models:
+        if m.deviation > worst_allowed:
+            continue
+        low_purity_w = 1.5 / ((1.5 - 0.5) / (1.0 - min_purity_hard_limit / 100)
+                              * (m.purity - min_purity_hard_limit / 100) + 1.0)
+        cn2_score = low_purity_w * CN2_WEIGHT * (
+            m.percent_cn[2] / max(0.01, best_cn2) - 1)
+        dev_score = 0.0
+        if worst_allowed > best_deviation:
+            dev_score = DEVIATION_SCORE_WEIGHT * (worst_allowed - m.deviation) \
+                / (worst_allowed - best_deviation)
+        dd_score = DIPLOID_DISTANCE_WEIGHT * m.diploid_distance / max(0.01, best_dd)
+        score = cn2_score + dev_score + dd_score
+        scored.append((score, m))
+        if score > best_score:
+            best_model, best_score = m, score
+    if best_model is None:
+        best_model = min(all_models, key=lambda m: m.deviation)
+
+    # inter-model genome edit distance across top models (:2082-2094)
+    scored.sort(key=lambda t: -t[0])
+    inter = 0.0
+    lengths = np.array([i.segment.length for i in infos], dtype=np.float64)
+    for _, m in scored[1:MAX_RELATED_MODELS]:
+        inter += float(np.sum(np.abs(best_model.cns - m.cns) * lengths)
+                       / genome_length)
+    best_model.inter_model_distance = inter / MAX_RELATED_MODELS
+    # re-evaluate the winner so the ploidy states hold its model points
+    model_deviation(best_model, ploidies, infos, coverage_weight)
+    return best_model, [m for _, m in scored]
+
+
+def coverage_weighting_factor(median_coverage_level: int,
+                              evenness_score: float | None) -> float:
+    """:1661-1679."""
+    if evenness_score is not None and evenness_score < EVENNESS_THRESHOLD:
+        scaler = max(evenness_score - MIN_EVENNESS, 0.0) / (
+            EVENNESS_THRESHOLD - MIN_EVENNESS)
+        w = COVERAGE_WEIGHTING_WITH_MAF + (
+            COVERAGE_WEIGHTING - COVERAGE_WEIGHTING_WITH_MAF) * scaler
+        return w / median_coverage_level
+    return COVERAGE_WEIGHTING / median_coverage_level
+
+
+def assign_ploidy_calls(
+    segments: list[Segment],
+    model: PurityModel,
+    ploidies: list[PloidyState],
+    coverage_weight: float,
+    ref_ploidy_fn=None,
+) -> None:
+    """AssignPloidyCalls (:2379-2457)."""
+    for seg in segments:
+        folded = np.where(seg.baf_frequencies > 0.5,
+                          1 - seg.baf_frequencies, seg.baf_frequencies)
+        folded = np.sort(folded.astype(np.float64))
+        median_cov = stats.median(seg.bin_counts)
+        median_maf = float(folded[len(folded) // 2]) if len(folded) >= 10 else None
+        is_haploid = ref_ploidy_fn is not None and ref_ploidy_fn(seg) == 1
+        best_d, second_d = np.inf, np.inf
+        best_p, second_p = None, None
+        for p in ploidies:
+            cov = p.mixed_haploid_coverage if is_haploid else p.mixed_coverage
+            maf = 0.0 if is_haploid else p.mixed_maf
+            d = model_distance(median_cov, cov, median_maf, maf, coverage_weight)
+            if d < best_d:
+                second_d, second_p = best_d, best_p
+                best_d, best_p = d, p
+            elif d < second_d:
+                second_d, second_p = d, p
+        seg.copy_number = best_p.copy_number
+        seg.second_best_copy_number = second_p.copy_number
+        seg.major_chromosome_count = best_p.major_count \
+            if median_maf is not None else None
+        seg.model_distance = best_d
+        seg.runner_up_model_distance = second_d
+        # >maxCN extrapolation from coverage ratio
+        if seg.copy_number == MAX_COPY_NUMBER:
+            ratio = seg.mean_count / model.diploid_coverage
+            ref_cn = ref_ploidy_fn(seg) if ref_ploidy_fn else 2
+            est = (2 * ratio - ref_cn * (1 - model.purity)) / model.purity
+            est_cn = int(round(est))
+            if est_cn > MAX_COPY_NUMBER:
+                seg.copy_number = est_cn
+                seg.major_chromosome_count = None
+                cov = model.diploid_coverage * (
+                    (1 - model.purity) + model.purity * est_cn / 2.0)
+                seg.model_distance = abs(seg.mean_count - cov) * coverage_weight
+
+
+def adjust_ploidy_calls(segments: list[Segment], model: PurityModel) -> None:
+    """AdjustPloidyCalls heterogeneity swap (:2467-2489)."""
+    for seg in segments:
+        if not seg.is_heterogeneous or model.purity <= 0.2:
+            continue
+        if seg.runner_up_model_distance == 0:
+            continue
+        if seg.model_distance / seg.runner_up_model_distance <= DISTANCE_RATIO:
+            continue
+        if seg.copy_number == 2 and seg.second_best_copy_number in (1, 3):
+            seg.copy_number, seg.second_best_copy_number = \
+                seg.second_best_copy_number, seg.copy_number
+            seg.major_chromosome_count = 1 if seg.second_best_copy_number == 1 \
+                else 2
+
+
+def select_purity_estimate(model: PurityModel, segments: list[Segment],
+                           snv_purity: float) -> None:
+    """SelectPurityEstimate (:2653-2678)."""
+    total_w = sum(s.length for s in segments)
+    abnormal = sum(s.length for s in segments
+                   if s.copy_number != 2 or s.major_chromosome_count != 1)
+    fraction = abnormal / total_w if total_w else 0.0
+    if fraction < 0.07 and not math.isnan(snv_purity) and model.purity < 0.5:
+        model.purity = snv_purity
+
+
+def estimate_purity_from_somatic_vafs(vafs: np.ndarray) -> float:
+    """EstimatePurityFromSomaticSNVs tail (:2718-2728): purity = min(1,
+    2 * median VF) over PASS somatic SNVs with VF < 0.5 (needs >=100)."""
+    vafs = np.asarray(vafs, dtype=np.float32)
+    vafs = vafs[vafs < 0.5]
+    if len(vafs) < 100:
+        return float("nan")
+    return min(1.0, 2 * stats.median(vafs))
+
+
+def estimate_chromosome_count(segments: list[Segment]) -> float:
+    """EstimateChromosomeCount (:2613-2651)."""
+    overall = 0.0
+    current = None
+    counts = np.zeros(MAX_COPY_NUMBER + 1)
+
+    def weighted():
+        w = counts.sum()
+        if w == 0:
+            return 0.0
+        return float(np.sum(counts * np.arange(len(counts))) / w)
+
+    for seg in segments:
+        if seg.chrom != current:
+            if current is not None:
+                overall += weighted()
+            counts[:] = 0
+            current = seg.chrom
+        if not seg.is_pass or seg.copy_number == -1:
+            continue
+        counts[min(seg.copy_number, MAX_COPY_NUMBER)] += seg.length
+    overall += weighted()
+    return overall
+
+
+def call_somatic(
+    segments: list[Segment],
+    genome_length: int,
+    evenness_score: float | None = None,
+    somatic_vafs: np.ndarray | None = None,
+    ref_ploidy_fn=None,
+    is_enrichment: bool = False,
+    user_purity: float | None = None,
+) -> tuple[PurityModel, list[str]]:
+    """Core somatic calling (CallCNVUsingSNVFrequency without file I/O).
+
+    Assigns copy numbers in place; returns (model, extra VCF headers)."""
+    infos, _ = usable_segments_with_relaxation(segments, is_enrichment)
+    if len(infos) < 3:
+        raise RuntimeError(
+            "Cannot model coverage/purity with less than 3 segments.")
+    # coverage/MAF scaling stats over reference-diploid segments
+    cov_list, maf_list = [], []
+    for info in infos:
+        if ref_ploidy_fn is not None and ref_ploidy_fn(info.segment) != 2:
+            continue
+        cov_list.append(info.segment.bin_counts)
+        f = info.segment.baf_frequencies
+        maf_list.append(1 - np.maximum(f, 1 - f))
+    cov_all = np.concatenate(cov_list) if cov_list else np.zeros(1)
+    q = stats.quartiles(cov_all.astype(np.float32))
+    median_coverage_level = int(np.rint(q[1]))
+    cw = coverage_weighting_factor(median_coverage_level, evenness_score)
+
+    mean_coverage = float(np.mean(cov_all, dtype=np.float64))
+    model, _ = grid_search(
+        infos, mean_coverage, genome_length, cw, median_coverage_level,
+        user_purity=user_purity)
+
+    ploidies = initialize_ploidies(mean_coverage)
+    model_deviation(model, ploidies, infos, cw)
+    assign_ploidy_calls(segments, model, ploidies, cw, ref_ploidy_fn)
+    adjust_ploidy_calls(segments, model)
+
+    if somatic_vafs is not None:
+        snv_purity = estimate_purity_from_somatic_vafs(somatic_vafs)
+        select_purity_estimate(model, segments, snv_purity)
+
+    headers = [
+        f"##EstimatedTumorPurity={model.purity:.2f}",
+        f"##PurityModelFit={model.deviation:.4f}",
+        f"##InterModelDistance={model.inter_model_distance:.4f}",
+    ]
+    return model, headers

@@ -105,7 +105,10 @@ def factor_of_three_cmads(coverage_by_contig: dict[str, np.ndarray],
             trip = np.sort(data[: n * 3].reshape(n, 3), axis=1)
             a, b, c = trip[:, 0], trip[:, 1], trip[:, 2]
             new_results[key] = b
-            cmads.extend(((c - a) / 2.0 / b).tolist())
+            # b == 0 yields inf/nan CMADs, as in the reference; the median
+            # downstream absorbs them
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cmads.extend(((c - a) / 2.0 / b).tolist())
         results = new_results
         if len(cmads) < 50:
             cmad_list.extend([cmad_list[-1]] * (max_exponent - len(cmad_list) + 1))

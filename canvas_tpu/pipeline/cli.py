@@ -1,0 +1,97 @@
+"""Command-line interface — the Canvas.exe mode surface
+(Canvas/Program.cs:13-23 + CommandLineParsing/).
+
+    python -m canvas_tpu Germline-WGS -b sample.bam -r refdir -o outdir \
+        --sample-b-allele-vcf normal.vcf -n SampleName
+    python -m canvas_tpu Somatic-WGS -b tumor.bam [--normal-bam n.bam] ...
+    python -m canvas_tpu SmallPedigree-WGS --bams f.bam m.bam p.bam \
+        --names father mother proband --types Father Mother Proband ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from canvas_tpu.pipeline import runner
+
+
+def _common(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("-r", "--reference", required=True,
+                        help="folder with kmer.fa (and GenomeSize.xml)")
+    parser.add_argument("-o", "--output", required=True)
+    parser.add_argument("--filter-bed", default=None)
+    parser.add_argument("--ploidy-vcf", default=None)
+    parser.add_argument("--no-resume", action="store_true",
+                        help="ignore existing checkpoints")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="canvas_tpu",
+        description="TPU-native CNV caller (Canvas-compatible modes)")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    g = sub.add_parser("Germline-WGS", help="germline single-sample WGS")
+    g.add_argument("-b", "--bam", required=True)
+    g.add_argument("-n", "--sample-name", required=True)
+    g.add_argument("--sample-b-allele-vcf", default=None)
+    _common(g)
+
+    for mode in ("Somatic-WGS", "Somatic-Enrichment",
+                 "Tumor-normal-enrichment"):
+        s = sub.add_parser(mode)
+        s.add_argument("-b", "--bam", required=True, help="tumor BAM")
+        s.add_argument("-n", "--sample-name", required=True)
+        s.add_argument("--normal-bam", default=None)
+        s.add_argument("--sample-b-allele-vcf", default=None)
+        s.add_argument("--somatic-vcf", default=None)
+        _common(s)
+
+    sp = sub.add_parser("SmallPedigree-WGS")
+    sp.add_argument("--bams", nargs="+", required=True)
+    sp.add_argument("--names", nargs="+", required=True)
+    sp.add_argument("--types", nargs="+", required=True,
+                    help="Father/Mother/Proband/Sibling/Other per sample")
+    sp.add_argument("--b-allele-vcfs", nargs="*", default=None)
+    _common(sp)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    ctx = runner.WorkflowContext(
+        reference_folder=args.reference, output_dir=args.output,
+        filter_bed=args.filter_bed, resume=not args.no_resume)
+
+    if args.mode == "Germline-WGS":
+        sample = runner.Sample(args.sample_name, args.bam,
+                               normal_vcf=args.sample_b_allele_vcf,
+                               ploidy_vcf=args.ploidy_vcf)
+        out = runner.germline_wgs(ctx, sample)
+    elif args.mode in ("Somatic-WGS", "Somatic-Enrichment",
+                       "Tumor-normal-enrichment"):
+        tumor = runner.Sample(args.sample_name, args.bam,
+                              normal_vcf=args.sample_b_allele_vcf,
+                              ploidy_vcf=args.ploidy_vcf)
+        normal = runner.Sample(args.sample_name + "_N", args.normal_bam) \
+            if args.normal_bam else None
+        out = runner.somatic_wgs(ctx, tumor, normal,
+                                 somatic_vcf=args.somatic_vcf)
+    else:  # SmallPedigree-WGS
+        if len(args.bams) != len(args.names) or len(args.bams) != len(args.types):
+            print("--bams/--names/--types must have the same length",
+                  file=sys.stderr)
+            return 2
+        vcfs = args.b_allele_vcfs or [None] * len(args.bams)
+        samples = [
+            runner.Sample(n, b, sample_type=t, normal_vcf=v,
+                          ploidy_vcf=args.ploidy_vcf)
+            for n, b, t, v in zip(args.names, args.bams, args.types, vcfs)]
+        out = runner.small_pedigree_wgs(ctx, samples)
+    print(f"CNV calls written to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,463 @@
+"""Workflow orchestration — the CanvasRunner replacement.
+
+The reference chains nine executables through checkpointed subprocess
+launches with files as transport (CanvasRunner.cs:783-881).  Here each mode
+is one in-process pipeline over device arrays; stage outputs are still
+checkpointed to the work directory (BinSet text files, partitioned files,
+VF files) so a rerun resumes from completed stages — the same contract as
+Isas ICheckpointRunner (SURVEY.md §5).
+
+Modes (Canvas/Program.cs:13-23):
+  Germline-WGS          single sample, wavelets (germline), diploid caller
+  Somatic-WGS           tumor[/normal], wavelets, somatic caller
+  Somatic-Enrichment    manifest-driven, CBS, somatic caller
+  Tumor-normal-enrichment  as above with normal ratio
+  SmallPedigree-WGS     per-sample HMM, joint pedigree caller
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from canvas_tpu.config import CanvasConfig
+from canvas_tpu.genome.contigs import ContigTable, is_canonical
+from canvas_tpu.genome.reference import load_reference_tracks
+from canvas_tpu.io import bam as bamio
+from canvas_tpu.io import snv as snvio
+from canvas_tpu.io import vcf_write
+from canvas_tpu.io.bins import BinSet
+from canvas_tpu.io.ploidy import PloidyInfo, load_ploidy_vcf
+from canvas_tpu.models import diploid as diploid_caller
+from canvas_tpu.models import pedigree as pedigree_caller
+from canvas_tpu.models import somatic as somatic_caller
+from canvas_tpu.models import qscore
+from canvas_tpu.models.segment_model import (
+    SEGMENT_SIZE_CUTOFF, merge_segments, set_filters)
+from canvas_tpu.ops import binning, hmm, metrics, normalize, ratio, wavelets
+from canvas_tpu.ops import segments as segops
+from canvas_tpu.pipeline import segments_io
+
+
+@dataclass
+class Checkpointer:
+    """File-based stage checkpointing (ICheckpointRunner contract)."""
+
+    work_dir: Path
+    resume: bool = True
+
+    def __post_init__(self):
+        self.work_dir = Path(self.work_dir)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+
+    def path(self, name: str) -> Path:
+        return self.work_dir / name
+
+    def done(self, name: str) -> bool:
+        return self.resume and self.path(name).exists()
+
+    def run(self, name: str, produce, load, save):
+        """Run `produce()` unless checkpoint `name` exists; persist via
+        save(value, path) / load(path).
+
+        The fresh value is re-read through its serialized form so a run and
+        a resume see bit-identical inputs (the reference pipes every stage
+        through text files, so e.g. bin counts are always %.2f-rounded)."""
+        p = self.path(name)
+        if self.done(name):
+            return load(p)
+        value = produce()
+        save(value, p)
+        return load(p)
+
+
+@dataclass
+class Sample:
+    name: str
+    bam_path: str
+    sample_type: str = "Other"   # Father/Mother/Proband/Sibling/Other
+    normal_vcf: str | None = None
+    ploidy_vcf: str | None = None
+
+
+@dataclass
+class WorkflowContext:
+    reference_folder: str                 # contains kmer.fa (+ GenomeSize.xml)
+    output_dir: str
+    config: CanvasConfig = field(default_factory=CanvasConfig)
+    filter_bed: str | None = None
+    resume: bool = True
+
+    def __post_init__(self):
+        kmer = Path(self.reference_folder) / "kmer.fa"
+        gs = Path(self.reference_folder) / "GenomeSize.xml"
+        contigs = (ContigTable.from_genome_size_xml(gs) if gs.exists() else None)
+        self.contigs, self.tracks = load_reference_tracks(kmer, contigs)
+        self.canonical = [n for n in self.contigs.names
+                          if is_canonical(n) and n in self.tracks]
+        self.checkpointer = Checkpointer(Path(self.output_dir) / "Checkpoints",
+                                         self.resume)
+
+
+# ---------------------------------------------------------------------------
+# Stage drivers
+# ---------------------------------------------------------------------------
+
+def ingest_observed(ctx: WorkflowContext, sample: Sample) -> dict[str, np.ndarray]:
+    """Per-contig observed read-start counts from the sample BAM."""
+    bam = bamio.BamFile.read(sample.bam_path)
+    observed = {}
+    for contig in ctx.canonical:
+        obs, _ = bamio.read_start_counts(bam, contig)
+        observed[contig] = obs
+    return observed
+
+
+def autosome_rates(ctx: WorkflowContext,
+                   observed: dict[str, np.ndarray]) -> list[float]:
+    from canvas_tpu.genome.contigs import is_autosome
+
+    return [binning.contig_rate(ctx.tracks[c]["possible"], observed[c])
+            for c in ctx.canonical if is_autosome(c)]
+
+
+def run_bin(ctx: WorkflowContext, sample: Sample,
+            bin_size: int | None = None,
+            observed: dict[str, np.ndarray] | None = None) -> tuple[BinSet, int]:
+    """CanvasBin: ingest BAM read starts + device binning.
+
+    With bin_size given, uses the shared multi-sample bin size (the
+    reference's CalculateMultiSampleBinSize harmonization,
+    CanvasRunner.cs:258-278) so bin boundaries align across samples."""
+    ckpt = ctx.checkpointer
+    name = f"CanvasBin_{sample.name}.binned.gz"
+
+    def produce():
+        obs = observed if observed is not None else ingest_observed(ctx, sample)
+        bs = bin_size or binning.bin_size_from_rates(
+            ctx.config.counts_per_bin, autosome_rates(ctx, obs))
+        tracks = {c: dict(possible=ctx.tracks[c]["possible"],
+                          observed=obs[c],
+                          is_gc=ctx.tracks[c]["is_gc"],
+                          offset=ctx.tracks[c]["offset"])
+                  for c in ctx.canonical}
+        per_contig = binning.bin_sample(tracks, bs)
+        cid, st, en, gc, cnt = [], [], [], [], []
+        for i, cname in enumerate(ctx.contigs.names):
+            if cname not in per_contig:
+                continue
+            s, e, g, c = per_contig[cname]
+            cid.append(np.full(len(s), i, np.int32))
+            st.append(s); en.append(e); gc.append(g); cnt.append(c)
+        bins = BinSet(ctx.contigs, np.concatenate(cid), np.concatenate(st),
+                      np.concatenate(en), np.concatenate(gc),
+                      np.concatenate(cnt))
+        return bins
+
+    bins = ckpt.run(name, produce,
+                    load=lambda p: BinSet.read_text(p, ctx.contigs),
+                    save=lambda b, p: b.write_text(p))
+    return bins, 0
+
+
+def run_clean(ctx: WorkflowContext, sample: Sample, bins: BinSet,
+              compute_local_sd: bool = False) -> tuple[BinSet, float | None]:
+    ckpt = ctx.checkpointer
+    name = f"CanvasClean_{sample.name}.cleaned.gz"
+    sd_name = f"LocalSdMetric_{sample.name}.txt"
+
+    def produce():
+        cleaned, local_sd = normalize.clean(
+            bins, compute_local_sd=compute_local_sd)
+        return cleaned, local_sd
+
+    if ckpt.done(name):
+        cleaned = BinSet.read_text(ckpt.path(name), ctx.contigs)
+        local_sd = None
+        if ckpt.path(sd_name).exists():
+            local_sd = float(ckpt.path(sd_name).read_text().strip())
+        return cleaned, local_sd
+    cleaned, local_sd = produce()
+    cleaned.write_text(ckpt.path(name))
+    if local_sd is not None:
+        ckpt.path(sd_name).write_text(f"{local_sd}\n")
+    # re-read through the text form for run/resume bit-consistency
+    return BinSet.read_text(ckpt.path(name), ctx.contigs), local_sd
+
+
+def run_snv(ctx: WorkflowContext, sample: Sample,
+            is_somatic: bool = False) -> Path | None:
+    """CanvasSNV: b-allele counts at het sites -> VFResults file."""
+    if sample.normal_vcf is None:
+        return None
+    ckpt = ctx.checkpointer
+    out = ckpt.path(f"VFResults_{sample.name}.txt.gz")
+    if ckpt.done(out.name):
+        return out
+    bam = bamio.BamFile.read(sample.bam_path)
+    all_sites: list[snvio.SnvSite] = []
+    for contig in ctx.canonical:
+        sites = snvio.load_het_snvs(sample.normal_vcf, contig,
+                                    is_somatic=is_somatic)
+        snvio.pileup_counts(bam, contig, sites)
+        all_sites.extend(sites)
+    snvio.write_frequencies(out, all_sites)
+    return out
+
+
+def coverage_by_contig(bins: BinSet) -> dict[str, np.ndarray]:
+    return {name: bins.count[sl].astype(np.float64)
+            for name, sl in bins.contig_slices().items()}
+
+
+def run_partition(
+    ctx: WorkflowContext, samples_bins: dict[str, BinSet], method: str,
+    is_germline: bool, ploidy: PloidyInfo | None = None,
+) -> dict[str, dict[str, list]]:
+    """CanvasPartition: segmentation + post-processing per sample.
+
+    Returns sample -> contig -> list[Segment] (with confidence intervals)."""
+    cfg = ctx.config
+    per_sample_spans: dict[str, dict[str, list[segops.Span]]] = {}
+    cov_cache = {name: coverage_by_contig(b) for name, b in samples_bins.items()}
+
+    for name, bins in samples_bins.items():
+        cov = cov_cache[name]
+        if method == "PerSampleHMM":
+            bps = hmm.segment_coverage(
+                {c: v[:, None] for c, v in cov.items()}, per_sample=True)
+        elif method == "HMM":
+            bps = hmm.segment_coverage(
+                {c: np.stack([cov_cache[n][c] for n in samples_bins], axis=1)
+                 for c in cov}, per_sample=False)
+        elif method == "Wavelets":
+            cv = metrics.coverage_variability(cov, cfg.evenness_score_window)
+            cmads = metrics.factor_of_three_cmads(cov)
+            bps = wavelets.segment_coverage(
+                cov, is_germline, cv, cmads, mad_factor=cfg.mad_factor,
+                threshold_lower=cfg.threshold_lower_maf)
+        elif method == "CBS":
+            from canvas_tpu.ops import cbs
+            lens = cbs.run_cbs(cov, alpha=cfg.cbs_alpha)
+            bps = {}
+            for c, lengths in lens.items():
+                ends = np.cumsum(lengths)
+                bps[c] = [0] + [int(e) for e in ends[:-1]]
+        else:
+            raise ValueError(f"unknown partition method {method}")
+        spans = {}
+        slices = bins.contig_slices()
+        for c, sl in slices.items():
+            starts, ends = bins.start[sl], bins.end[sl]
+            spans[c] = segops.derive_segments(
+                bps.get(c, [0]) or [0], len(starts), starts, ends)
+        per_sample_spans[name] = spans
+        if method in ("HMM",):
+            break  # joint segmentation: one pass covers all samples
+
+    if method == "HMM":
+        for name in samples_bins:
+            per_sample_spans[name] = per_sample_spans[next(iter(per_sample_spans))]
+    elif len(samples_bins) > 1:
+        # SplitOverlappingSegments across samples (PerSampleHMM / CBS paths)
+        contigs_all = set()
+        for spans in per_sample_spans.values():
+            contigs_all.update(spans)
+        union: dict[str, list[segops.Span]] = {}
+        for c in contigs_all:
+            union[c] = segops.split_overlapping_segments(
+                [per_sample_spans[n].get(c, []) for n in samples_bins])
+        for name in samples_bins:
+            per_sample_spans[name] = union
+
+    # post-process into numbered segments per sample
+    out: dict[str, dict[str, list]] = {}
+    for name, bins in samples_bins.items():
+        slices = bins.contig_slices()
+        bin_start = {c: bins.start[sl] for c, sl in slices.items()}
+        bin_end = {c: bins.end[sl] for c, sl in slices.items()}
+        covd = {c: bins.count[sl] for c, sl in slices.items()}
+        span_starts = {c: {sp.start for sp in spans}
+                       for c, spans in per_sample_spans[name].items()}
+        ploidy_breaks = ({c: ploidy.breaks_for_contig(c) for c in bin_start}
+                         if ploidy else None)
+        numbered = segops.post_process_segments(
+            span_starts, {}, bin_start, bin_end,
+            max_inter_bin_dist=cfg.max_inter_bin_dist_in_segment,
+            ploidy_breaks_by_contig=ploidy_breaks)
+        by_contig: dict[str, list] = {}
+        for c, segs in numbered.items():
+            ids = np.concatenate([
+                np.full(len(s.bin_indices), s.identifier) for s in segs]) \
+                if segs else np.zeros(0, np.int64)
+            by_contig[c] = segments_io.segments_from_rows(
+                c, bin_start[c], bin_end[c], covd[c], ids)
+        out[name] = by_contig
+    return out
+
+
+def attach_alleles(ctx: WorkflowContext, sample: Sample,
+                   segments_by_contig: dict[str, list], vf_path) -> None:
+    if vf_path is None:
+        return
+    intervals = segments_io.segment_intervals(segments_by_contig)
+    freqs = snvio.read_frequencies(vf_path, intervals)
+    segments_io.add_alleles(segments_by_contig, freqs)
+
+
+def _flatten(segments_by_contig: dict[str, list], contigs: ContigTable):
+    out = []
+    for c in contigs.names:
+        out.extend(segments_by_contig.get(c, []))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mode workflows
+# ---------------------------------------------------------------------------
+
+def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
+    """Germline-WGS: bin -> clean -> wavelets (germline) -> diploid caller."""
+    ploidy = load_ploidy_vcf(sample.ploidy_vcf) if sample.ploidy_vcf else None
+    bins, _ = run_bin(ctx, sample)
+    cleaned, _ = run_clean(ctx, sample, bins)
+    vf = run_snv(ctx, sample, is_somatic=False)
+    parts = run_partition(ctx, {sample.name: cleaned}, "Wavelets",
+                          is_germline=True, ploidy=ploidy)
+    segs_by_contig = parts[sample.name]
+    attach_alleles(ctx, sample, segs_by_contig, vf)
+    segs = _flatten(segs_by_contig, ctx.contigs)
+    called, dip_cov = diploid_caller.call_variants(
+        segs, ctx.config.quality_filter_threshold, ctx.config.qscore)
+    out = Path(ctx.output_dir) / f"{sample.name}_CNV.vcf.gz"
+    vcf_write.write_segments(
+        out, [called], [sample.name], ctx.contigs, diploid_coverage=dip_cov,
+        reference_cn_fn=(lambda i, s: ploidy.reference_copy_number(
+            s.chrom, s.begin, s.end)) if ploidy else None,
+        quality_threshold=ctx.config.quality_filter_threshold,
+        reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+    return out
+
+
+def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
+                normal: Sample | None = None,
+                somatic_vcf: str | None = None) -> Path:
+    """Somatic-WGS: bin -> clean [-> T/N ratio] -> wavelets -> somatic."""
+    ploidy = load_ploidy_vcf(tumor.ploidy_vcf) if tumor.ploidy_vcf else None
+    t_bins, _ = run_bin(ctx, tumor)
+    t_clean, local_sd = run_clean(ctx, tumor, t_bins, compute_local_sd=True)
+    work = t_clean
+    if normal is not None:
+        n_bins, _ = run_bin(ctx, normal)
+        n_clean, _ = run_clean(ctx, normal, n_bins)
+        ratios = ratio.lsnorm_ratios(t_clean, n_clean)
+        work = ratio.ratios_to_counts(ratios)
+    vf = run_snv(ctx, tumor, is_somatic=True)
+    cov = coverage_by_contig(work)
+    evenness = None
+    try:
+        evenness = metrics.evenness_score(cov, ctx.config.evenness_score_window)
+    except Exception:
+        pass
+    parts = run_partition(ctx, {tumor.name: work}, "Wavelets",
+                          is_germline=False, ploidy=ploidy)
+    segs_by_contig = parts[tumor.name]
+    attach_alleles(ctx, tumor, segs_by_contig, vf)
+    segs = _flatten(segs_by_contig, ctx.contigs)
+    genome_length = int(np.sum(ctx.contigs.lengths_array))
+    ploidy_fn = ploidy.segment_ploidy_fn() if ploidy else None
+    model, headers = somatic_caller.call_somatic(
+        segs, genome_length, evenness_score=evenness, ref_ploidy_fn=ploidy_fn)
+    if local_sd is not None:
+        headers.append(f"##LocalSDmetric={local_sd:.2f}")
+    qscore.assign_quality_scores(segs, "Logistic", ctx.config.qscore)
+    merged = merge_segments(segs, somatic_caller.MINIMUM_CALL_SIZE)
+    qscore.assign_quality_scores(merged, "Logistic", ctx.config.qscore)
+    set_filters(merged, ctx.config.quality_filter_threshold,
+                SEGMENT_SIZE_CUTOFF)
+    headers.append(
+        f"##EstimatedChromosomeCount={somatic_caller.estimate_chromosome_count(merged):.2f}")
+    out = Path(ctx.output_dir) / f"{tumor.name}_CNV.vcf.gz"
+    vcf_write.write_segments(
+        out, [merged], [tumor.name], ctx.contigs,
+        diploid_coverage=model.diploid_coverage, extra_headers=headers,
+        reference_cn_fn=(lambda i, s: ploidy.reference_copy_number(
+            s.chrom, s.begin, s.end)) if ploidy else None,
+        quality_threshold=ctx.config.quality_filter_threshold,
+        reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+    return out
+
+
+def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample]) -> Path:
+    """SmallPedigree-WGS: per-sample bin/clean -> multisample intersection ->
+    PerSampleHMM -> joint pedigree caller -> multi-sample VCF."""
+    cleaned: dict[str, BinSet] = {}
+    ploidies: dict[str, PloidyInfo | None] = {}
+    # shared multi-sample bin size: median rate over ALL samples so bin
+    # boundaries align (CanvasBin.CalculateMultiSampleBinSize :842-865)
+    need_ingest = [s for s in samples
+                   if not ctx.checkpointer.done(f"CanvasBin_{s.name}.binned.gz")]
+    observed_by_sample = {s.name: ingest_observed(ctx, s)
+                          for s in need_ingest}
+    all_rates: list[float] = []
+    for s in need_ingest:
+        all_rates.extend(autosome_rates(ctx, observed_by_sample[s.name]))
+    shared_bs = binning.bin_size_from_rates(
+        ctx.config.counts_per_bin, all_rates) if all_rates else None
+    for s in samples:
+        bins, _ = run_bin(ctx, s, bin_size=shared_bs,
+                          observed=observed_by_sample.get(s.name))
+        cleaned[s.name], _ = run_clean(ctx, s, bins)
+        ploidies[s.name] = load_ploidy_vcf(s.ploidy_vcf, s.name) \
+            if s.ploidy_vcf else None
+    # multi-sample bin intersection (Utilities.MergeMultiSampleCleanedBedFile)
+    cleaned = intersect_bins(cleaned)
+    parts = run_partition(ctx, cleaned, "PerSampleHMM", is_germline=True)
+    segs_by_sample: dict[str, list] = {}
+    for s in samples:
+        by_contig = parts[s.name]
+        vf = run_snv(ctx, s, is_somatic=False)
+        attach_alleles(ctx, s, by_contig, vf)
+        segs_by_sample[s.name] = _flatten(by_contig, ctx.contigs)
+    types = {s.name: s.sample_type for s in samples}
+    ploidy_fns = {n: p.segment_ploidy_fn() for n, p in ploidies.items() if p}
+    pedigree_caller.call_pedigree(
+        segs_by_sample, types, ploidy_fns,
+        ctx.config.quality_filter_threshold)
+    for name, segs in segs_by_sample.items():
+        set_filters(segs, ctx.config.quality_filter_threshold,
+                    SEGMENT_SIZE_CUTOFF)
+        for seg in segs:
+            if seg.qscore < ctx.config.quality_filter_threshold and \
+                    f"q{ctx.config.quality_filter_threshold}" not in seg.filter_tags:
+                seg.filter_tags.append(f"q{ctx.config.quality_filter_threshold}")
+    out = Path(ctx.output_dir) / "CNV.vcf.gz"
+    names = [s.name for s in samples]
+    vcf_write.write_segments(
+        out, [segs_by_sample[n] for n in names], names, ctx.contigs,
+        denovo_quality_threshold=ctx.config.denovo_quality_threshold,
+        quality_threshold=ctx.config.quality_filter_threshold,
+        reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+    return out
+
+
+def intersect_bins(samples_bins: dict[str, BinSet]) -> dict[str, BinSet]:
+    """Multi-sample bin intersection on (contig, start, end) keys
+    (Utilities.MergeMultiSampleCleanedBedFile: keep bins present in every
+    sample, in the first sample's order)."""
+    if len(samples_bins) <= 1:
+        return samples_bins
+    keysets = []
+    for b in samples_bins.values():
+        keysets.append(set(zip(b.contig_id.tolist(), b.start.tolist())))
+    common = set.intersection(*keysets)
+    out = {}
+    for name, b in samples_bins.items():
+        mask = np.fromiter(
+            ((c, s) in common for c, s in zip(b.contig_id, b.start)),
+            dtype=bool, count=len(b))
+        out[name] = b.select(mask)
+    return out

@@ -1,0 +1,143 @@
+"""End-to-end pipeline tests: synthetic genome + BAM -> CLI -> VCF."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from canvas_tpu.genome.reference import write_fasta
+from canvas_tpu.io import bam as bamio
+from canvas_tpu.pipeline import runner
+from canvas_tpu.tools import evaluate_cnv as ec
+from canvas_tpu.tools.flag_unique_kmers import flag_unique_kmers
+
+
+L = 300_000
+CNV_PLAN = {  # contig -> list of (start, end, cn)
+    "chr1": [(80_000, 140_000, 1), (200_000, 260_000, 3)],
+    "chr2": [(50_000, 110_000, 0)],
+}
+
+
+def simulate_reads(rng, seq_len, cn_track, rate=0.25, read_len=50):
+    """Poisson read starts proportional to copy number."""
+    lam = rate * cn_track / 2.0
+    n_reads = rng.poisson(lam)
+    records = []
+    k = 0
+    for pos in np.flatnonzero(n_reads):
+        for _ in range(int(n_reads[pos])):
+            records.append(bamio.BamRecord(
+                0, int(pos), 50, 0x1 | 0x2, f"r{k}", [(read_len, "M")],
+                "A" * read_len, np.full(read_len, 30, np.uint8)))
+            k += 1
+    return records
+
+
+@pytest.fixture(scope="module")
+def reference_dir(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    ref = tmp_path_factory.mktemp("ref")
+    seqs = {c: "".join(rng.choice(list("ACGT"), size=L))
+            for c in ("chr1", "chr2")}
+    write_fasta(ref / "genome.fa", seqs)
+    flag_unique_kmers(ref / "genome.fa", ref / "kmer.fa")
+    return ref
+
+
+def make_bam(path, rng, plan):
+    for ci, contig in enumerate(("chr1", "chr2")):
+        pass
+    all_records = []
+    refs = [("chr1", L), ("chr2", L)]
+    for ci, contig in enumerate(("chr1", "chr2")):
+        cn = np.full(L, 2, dtype=np.float64)
+        for s, e, c in plan.get(contig, []):
+            cn[s:e] = c
+        recs = simulate_reads(np.random.default_rng(1000 + ci), L, cn)
+        for r in recs:
+            r.ref_id = ci
+        all_records.extend(recs)
+    bamio.write_bam(path, refs, all_records)
+
+
+def test_germline_wgs_end_to_end(reference_dir, tmp_path):
+    rng = np.random.default_rng(7)
+    bam_path = tmp_path / "sample.bam"
+    make_bam(bam_path, rng, CNV_PLAN)
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    sample = runner.Sample("s1", str(bam_path))
+    out_vcf = runner.germline_wgs(ctx, sample)
+    assert out_vcf.exists()
+
+    # score against the planted truth
+    truth = tmp_path / "truth.bed"
+    with open(truth, "w") as f:
+        for contig, plan in CNV_PLAN.items():
+            for s, e, c in plan:
+                f.write(f"{contig}\t{s}\t{e}\t{c}\n")
+    m = ec.evaluate(truth, out_vcf, passing_only=False)
+    assert m.recall > 80.0
+    assert m.precision > 80.0
+
+    # resume from checkpoints: re-running must produce the same VCF
+    # (compare decompressed content; the gzip header embeds a timestamp)
+    import gzip
+    first = gzip.open(out_vcf).read()
+    ctx2 = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    out2 = runner.germline_wgs(ctx2, runner.Sample("s1", str(bam_path)))
+    assert gzip.open(out2).read() == first
+
+
+def test_cli_germline(reference_dir, tmp_path):
+    bam_path = tmp_path / "s.bam"
+    make_bam(bam_path, np.random.default_rng(3), CNV_PLAN)
+    from canvas_tpu.pipeline.cli import main
+    rc = main(["Germline-WGS", "-b", str(bam_path), "-n", "cli_sample",
+               "-r", str(reference_dir), "-o", str(tmp_path / "cliout")])
+    assert rc == 0
+    assert (tmp_path / "cliout" / "cli_sample_CNV.vcf.gz").exists()
+
+
+def test_small_pedigree_end_to_end(reference_dir, tmp_path):
+    """Trio: father+proband share a gain; proband has a de novo loss."""
+    plans = {
+        "father": {"chr1": [(80_000, 140_000, 3)]},
+        "mother": {},
+        "proband": {"chr1": [(80_000, 140_000, 3)],
+                    "chr2": [(50_000, 110_000, 1)]},
+    }
+    samples = []
+    for name, plan in plans.items():
+        bam = tmp_path / f"{name}.bam"
+        make_bam(bam, np.random.default_rng(11), plan)
+        stype = {"father": "Father", "mother": "Mother",
+                 "proband": "Proband"}[name]
+        samples.append(runner.Sample(name, str(bam), sample_type=stype))
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    out_vcf = runner.small_pedigree_wgs(ctx, samples)
+    assert out_vcf.exists()
+
+    # proband column: both events present
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t80000\t140000\t3\nchr2\t50000\t110000\t1\n")
+    m = ec.evaluate(truth, out_vcf, sample_index=2, passing_only=False)
+    assert m.recall > 75.0
+    # mother column: no events -> precision of "no calls" = accuracy high
+    m_mother = ec.evaluate(truth, out_vcf, sample_index=1, passing_only=False)
+    assert m_mother.recall < 25.0  # mother truly lacks the variants
+
+    # de novo: proband's chr2 loss should carry DQ; shared chr1 gain not
+    import gzip
+    dn_calls = ec.load_cnv_calls(out_vcf, sample_index=2, dq_threshold=1.0)
+    dn_spans = [(c.chrom, c.start, c.end) for calls in dn_calls.values()
+                for c in calls]
+    assert any(ch == "chr2" and s < 110_000 and e > 50_000
+               for ch, s, e in dn_spans)
+    assert not any(ch == "chr1" for ch, s, e in dn_spans)

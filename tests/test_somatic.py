@@ -1,0 +1,128 @@
+"""Somatic purity/ploidy caller tests."""
+
+import numpy as np
+import pytest
+
+from canvas_tpu.models import somatic as som
+from canvas_tpu.models.segment_model import Segment
+
+
+def make_tumor_segment(chrom, begin, end, cn, major, purity, diploid_cov,
+                       rng, n_bins=60, n_vf=80):
+    """Simulate a tumor segment at given CN/major with normal contamination."""
+    th = diploid_cov * purity / 2
+    nh = diploid_cov * (1 - purity) / 2
+    cov = cn * th + 2 * nh
+    counts = rng.normal(cov, cov * 0.03, size=n_bins).astype(np.float32)
+    seg = Segment(chrom, begin, end, counts)
+    # b-allele frequencies around the mixed MAF
+    minor_cov = (cn - major) * th + nh
+    maf = minor_cov / cov if cov > 0 else 0.0
+    f = rng.normal(maf, 0.02, size=n_vf).astype(np.float32)
+    seg.baf_frequencies = np.clip(f, 0.01, 0.5)
+    seg.baf_total_coverage = np.full(n_vf, int(cov), np.int32)
+    return seg
+
+
+def build_tumor(rng, purity=0.6, diploid_cov=100.0):
+    segs = []
+    pos = 0
+    plan = [(2, 1)] * 6 + [(1, 1), (3, 2), (2, 2), (2, 1), (2, 1), (2, 1)]
+    for i, (cn, major) in enumerate(plan):
+        segs.append(make_tumor_segment(
+            "chr1", pos, pos + 2_000_000, cn, major, purity, diploid_cov, rng))
+        pos += 2_000_000
+    return segs, plan
+
+
+def test_adjusted_maf_matches_reference_loop(rng):
+    # literal re-enactment of AdjustedMAF (:686-716)
+    from scipy.stats import binom
+
+    for theo, cov in [(20.0, 70.0), (50.0, 130.0), (45.0, 100.0)]:
+        n = int(cov)
+        mean = theo / cov
+        want = sum(min(i, cov - i) * binom.pmf(i, n, mean)
+                   for i in range(n + 1)) / cov
+        got = som.adjusted_maf(theo, cov)
+        assert got == pytest.approx(want, rel=1e-9)
+    assert som.adjusted_maf(0.0, 100.0) == 0.0
+    assert som.adjusted_maf(10.0, 0.5) == 0.0
+
+
+def test_usable_segments_filters(rng):
+    segs = [
+        make_tumor_segment("chr1", 0, 3000, 2, 1, 1.0, 100, rng),      # short
+        make_tumor_segment("chr1", 0, 100000, 2, 1, 1.0, 100, rng),
+        make_tumor_segment("chr1", 100000, 200000, 2, 1, 1.0, 100, rng,
+                           n_vf=3),                                     # few VFs
+    ]
+    infos = som.get_usable_segments(segs)
+    assert len(infos) == 2
+    assert infos[0].maf >= 0
+    assert infos[1].maf == -1  # few VFs -> no MAF
+    assert infos[1].weight == pytest.approx(100000 * 3 / 10)
+
+
+def test_grid_recovers_purity(rng):
+    purity, dip = 0.6, 100.0
+    segs, plan = build_tumor(rng, purity, dip)
+    model, headers = som.call_somatic(
+        segs, genome_length=24_000_000, evenness_score=96.0)
+    assert model.purity == pytest.approx(purity, abs=0.1)
+    assert model.diploid_coverage == pytest.approx(dip, rel=0.1)
+    cns = [s.copy_number for s in segs]
+    want = [cn for cn, _ in plan]
+    assert cns == want
+    # LOH segment gets MCC = CN
+    loh = segs[8]
+    assert (loh.copy_number, loh.major_chromosome_count) == (2, 2)
+    assert any(h.startswith("##EstimatedTumorPurity=") for h in headers)
+
+
+def test_assign_extrapolates_high_cn(rng):
+    purity, dip = 1.0, 50.0
+    segs, _ = build_tumor(rng, purity, dip)
+    # add an extreme amplification (CN 16)
+    amp = make_tumor_segment("chr1", 30_000_000, 32_000_000, 16, 8,
+                             purity, dip, rng)
+    segs.append(amp)
+    infos, _ = som.usable_segments_with_relaxation(segs)
+    ploidies = som.initialize_ploidies(dip)
+    model = som.PurityModel(dip, purity)
+    cw = som.coverage_weighting_factor(int(dip), None)
+    som.model_deviation(model, ploidies, infos, cw)
+    som.assign_ploidy_calls(segs, model, ploidies, cw)
+    assert segs[-1].copy_number > som.MAX_COPY_NUMBER
+
+
+def test_heterogeneity_swap():
+    seg = Segment("chr1", 0, 100000, np.full(10, 100.0, np.float32))
+    seg.copy_number = 2
+    seg.second_best_copy_number = 3
+    seg.is_heterogeneous = True
+    seg.model_distance = 0.5
+    seg.runner_up_model_distance = 0.6
+    model = som.PurityModel(100.0, 0.5)
+    som.adjust_ploidy_calls([seg], model)
+    assert seg.copy_number == 3
+    assert seg.major_chromosome_count == 2
+
+
+def test_purity_from_somatic_vafs(rng):
+    vafs = rng.normal(0.2, 0.03, size=500)
+    p = som.estimate_purity_from_somatic_vafs(vafs)
+    assert p == pytest.approx(0.4, abs=0.05)
+    assert np.isnan(som.estimate_purity_from_somatic_vafs(vafs[:50]))
+
+
+def test_chromosome_count():
+    segs = []
+    for chrom in ("chr1", "chr2"):
+        s = Segment(chrom, 0, 1_000_000, np.full(10, 100.0, np.float32))
+        s.copy_number = 2
+        segs.append(s)
+    s = Segment("chr3", 0, 1_000_000, np.full(10, 100.0, np.float32))
+    s.copy_number = 3
+    segs.append(s)
+    assert som.estimate_chromosome_count(segs) == pytest.approx(7.0)
