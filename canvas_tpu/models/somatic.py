@@ -269,10 +269,16 @@ def model_deviation(
     ploidies: list[PloidyState],
     infos: list[SegmentInfo],
     coverage_weight: float,
+    cluster_ids: np.ndarray | None = None,
+    n_clusters: int = 0,
+    mean_coverage: float | None = None,
 ) -> float:
-    """ModelDeviation (:1214-1379) without the cluster-deviation branch
-    (clusterDeviation only engages with >3 heterogeneous clusters on
-    WGS+clustering runs)."""
+    """ModelDeviation (:1214-1379).  With clustering results provided (WGS,
+    >100 segments and MAFs, <10 centroids) the cluster-deviation branch
+    engages: when more than HeterogeneousClustersCutoff clusters straddle
+    model points, totalDeviation = (precision + accuracy + cluster)/3,
+    which penalizes degenerate (e.g. half-coverage) models whose points
+    split real clusters."""
     model_points(model, ploidies)
     pt_cov = np.array([p.mixed_coverage for p in ploidies])
     pt_maf = np.array([p.mixed_maf for p in ploidies])
@@ -326,7 +332,20 @@ def model_deviation(
                                 * model.percent_cn))
     model.precision_deviation = precision_dev
     model.accuracy_deviation = accuracy_dev
-    model.deviation = precision_dev * 0.5 + 0.5 * accuracy_dev
+    temp_deviation = precision_dev * 0.5 + 0.5 * accuracy_dev
+    model.deviation = temp_deviation
+
+    valid_maf_count = int(np.count_nonzero(has_maf))
+    if (cluster_ids is not None and n_clusters and mean_coverage is not None
+            and valid_maf_count > 100 and len(infos) > 100
+            and n_clusters < 10):
+        cdev, n_het, het_index, _ = cluster_deviation(
+            infos, cluster_ids, n_clusters, ploidies, coverage_weight,
+            mean_coverage)
+        model.heterogeneity_index = het_index
+        if n_het > HETEROGENEOUS_CLUSTERS_CUTOFF:
+            model.deviation = PRECISION_WEIGHTING_FACTOR * (
+                precision_dev + accuracy_dev + cdev)
     return model.deviation
 
 
@@ -355,6 +374,8 @@ def grid_search(
     min_minor_allele_coverage: float | None = None,
     user_purity: float | None = None,
     user_diploid_coverage: float | None = None,
+    cluster_ids: np.ndarray | None = None,
+    n_clusters: int = 0,
 ) -> tuple[PurityModel, list[PurityModel]]:
     """The coverage x purity grid (:1875-1933) + model selection
     (:1939-2056).  Returns (best model, all acceptable models)."""
@@ -377,7 +398,8 @@ def grid_search(
             min_purity = max_purity = int(user_purity * 100)
         for purity in range(min_purity, max_purity + 1):
             model = PurityModel(float(coverage), purity / 100.0)
-            model_deviation(model, ploidies, infos, coverage_weight)
+            model_deviation(model, ploidies, infos, coverage_weight,
+                            cluster_ids, n_clusters, mean_coverage)
             diploid_model_distance(model, infos, genome_length)
             ok_ploidy = MIN_ALLOWED_PLOIDY < model.ploidy < MAX_ALLOWED_PLOIDY
             if ok_ploidy:
@@ -431,8 +453,148 @@ def grid_search(
                        / genome_length)
     best_model.inter_model_distance = inter / MAX_RELATED_MODELS
     # re-evaluate the winner so the ploidy states hold its model points
-    model_deviation(best_model, ploidies, infos, coverage_weight)
+    model_deviation(best_model, ploidies, infos, coverage_weight,
+                    cluster_ids, n_clusters, mean_coverage)
     return best_model, [m for _, m in scored]
+
+
+# ---------------------------------------------------------------------------
+# Cluster deviation + clonality (heterogeneity) scoring
+# ---------------------------------------------------------------------------
+
+# Clonality logistic weights (SomaticCallerParameters.json)
+CLONALITY_INTERCEPT = 2.5621879132
+CLONALITY_BEST_MODEL_DISTANCE = -45.471444424
+CLONALITY_CLUSTER_ENTROPY = -4.2843880136
+CLONALITY_CLUSTER_MEDIAN_DISTANCE = 1.3284471738
+CLONALITY_CLUSTER_MEAN_DISTANCE = 7.7372213136
+CLONALITY_CLUSTER_VARIANCE = 20.8041902168
+CLONALITY_NUM_CLUSTERS = -0.0940266124
+CLONALITY_MODEL_DEVIATION = -2.2441224164
+HETEROGENEOUS_CLUSTERS_CUTOFF = 3
+PRECISION_WEIGHTING_FACTOR = 1.0 / 3.0
+
+
+@dataclass
+class ClusterMetrics:
+    cluster_id: int
+    mean_distance: float = 0.0
+    median_distance: float = 0.0
+    variance: float = 0.0
+    entropy: float = 0.0
+    n: int = 0
+
+
+def _cluster_entropy(mccs: np.ndarray) -> float:
+    """ClusterInfo.ComputeClusterEntropy — note the reference iterates the
+    unique MCC VALUES as if they were counts (ClusterInfo.cs:36-50);
+    reproduced for parity."""
+    if len(mccs) == 0:
+        return 0.0
+    entropy = 0.0
+    for v in np.unique(mccs):
+        if v > 0:
+            p = v / len(mccs)
+            entropy += -p * math.log(p)
+    return float(entropy)
+
+
+def cluster_metrics(
+    infos: list[SegmentInfo],
+    cluster_ids: np.ndarray,
+    n_clusters: int,
+    ploidies: list[PloidyState],
+    coverage_weight: float,
+    mean_coverage: float,
+) -> list[ClusterMetrics]:
+    """CalculateClusterMetrics (:1140-1205): per-cluster distance stats and
+    the MCC-mix entropy, using each segment's nearest model point among
+    points with coverage < 2x mean.  Vectorized (runs once per grid model)."""
+    out = [ClusterMetrics(k + 1) for k in range(n_clusters)]
+    pts = [(p.mixed_coverage, p.mixed_maf, p.copy_number, p.major_count)
+           for p in ploidies if p.mixed_coverage < mean_coverage * 2.0]
+    if not pts:
+        return out
+    pt_cov = np.array([p[0] for p in pts])
+    pt_maf = np.array([p[1] for p in pts])
+    pt_mcc = np.array([0.0 if (p[3] == 0 and p[2] == 0) else p[3] / p[2]
+                       for p in pts])
+    seg_cov = np.array([i.coverage for i in infos])
+    seg_maf = np.array([i.maf for i in infos])
+    dc = ((seg_cov[:, None] - pt_cov[None]) * coverage_weight) ** 2
+    dfull = np.where((seg_maf >= 0)[:, None],
+                     dc + (seg_maf[:, None] - pt_maf[None]) ** 2, 2 * dc)
+    best = np.argmin(dfull, axis=1)
+    best_d = np.sqrt(dfull[np.arange(len(infos)), best])
+    best_mcc = pt_mcc[best]
+    cids = np.asarray(cluster_ids)
+    for cm in out:
+        m = cids == cm.cluster_id
+        cm.n = int(np.count_nonzero(m))
+        if cm.n > 0:
+            d = best_d[m]
+            cm.mean_distance = float(d.mean())
+            cm.median_distance = stats.median(d)
+            cm.variance = stats.stddev(d) if len(d) > 1 else 0.0
+            cm.entropy = _cluster_entropy(best_mcc[m])
+    return out
+
+
+def cluster_deviation(
+    infos: list[SegmentInfo],
+    cluster_ids: np.ndarray,
+    n_clusters: int,
+    ploidies: list[PloidyState],
+    coverage_weight: float,
+    mean_coverage: float,
+) -> tuple[float, int, float, list[ClusterMetrics]]:
+    """ClusterDeviation (:1033-1135): average cluster mean-distance, number
+    of heterogeneous clusters (median distance AND entropy above cluster
+    medians), heterogeneity index."""
+    cms = cluster_metrics(infos, cluster_ids, n_clusters, ploidies,
+                          coverage_weight, mean_coverage)
+    if not any(c.n for c in cms):
+        return float("inf"), 2 ** 31 - 1, float("inf"), cms
+    dev = float(np.mean([c.mean_distance for c in cms])) if cms else 0.0
+    med_dist = stats.median([c.median_distance for c in cms]) if cms else 0.0
+    med_entropy = stats.median([c.entropy for c in cms]) if cms else 0.0
+    het = [c for c in cms
+           if c.median_distance > med_dist and c.entropy > med_entropy]
+    het_index = len(het) / n_clusters if n_clusters else 0.0
+    return dev, len(het), het_index, cms
+
+
+def clonality_scores(
+    infos: list[SegmentInfo],
+    cluster_ids: np.ndarray,
+    cms: list[ClusterMetrics],
+    ploidies: list[PloidyState],
+    coverage_weight: float,
+    n_clusters: int,
+    model_dev: float,
+) -> dict[int, float]:
+    """ComputeClonalityScore (:2736-2768): logistic heterogeneity score per
+    segment (score < 0.5 -> heterogeneous).  Returns info-index -> score."""
+    out: dict[int, float] = {}
+    pts = [(p.mixed_coverage, p.mixed_maf) for p in ploidies]
+    for i, (info, cid) in enumerate(zip(infos, cluster_ids)):
+        if cid <= 0 or cid > len(cms):
+            continue
+        best = min(model_distance(info.coverage, c, info.maf, m,
+                                  coverage_weight) for c, m in pts)
+        best = math.sqrt(best)
+        cm = cms[int(cid) - 1]
+        score = CLONALITY_INTERCEPT
+        score += best * CLONALITY_BEST_MODEL_DISTANCE
+        score += cm.entropy * CLONALITY_CLUSTER_ENTROPY
+        score += cm.median_distance * CLONALITY_CLUSTER_MEDIAN_DISTANCE
+        score += cm.mean_distance * CLONALITY_CLUSTER_MEAN_DISTANCE
+        score += cm.variance * CLONALITY_CLUSTER_VARIANCE
+        score += n_clusters * CLONALITY_NUM_CLUSTERS
+        score += model_dev * CLONALITY_MODEL_DEVIATION
+        score = math.exp(score)
+        out[i] = score / (score + 1)
+    return out
 
 
 def coverage_weighting_factor(median_coverage_level: int,
@@ -585,13 +747,61 @@ def call_somatic(
     cw = coverage_weighting_factor(median_coverage_level, evenness_score)
 
     mean_coverage = float(np.mean(cov_all, dtype=np.float64))
+
+    # segment clustering BEFORE the grid (SomaticCaller.cs:1690-1866): the
+    # cluster structure feeds ModelDeviation for every candidate model
+    cluster_ids = None
+    n_clusters = 0
+    cms = None
+    valid_maf = sum(1 for i in infos if i.maf >= 0)
+    if not is_enrichment and len(infos) > 100 and valid_maf > 100:
+        from canvas_tpu.ops import clustering as cl
+
+        seg_cov = np.array([i.coverage for i in infos])
+        seg_maf = np.array([i.maf for i in infos])
+        seg_w = np.array([i.weight for i in infos])
+        knn, knn_cut = cl.knearest_neighbour_cutoff(seg_cov, seg_maf, cw)
+        try:
+            res = cl.density_cluster(seg_cov, seg_maf, seg_w, cw, knn_cut,
+                                     centroid_cutoff=0.03)
+            if res.n_clusters > 0:
+                cluster_ids, n_clusters = res.cluster_ids, res.n_clusters
+        except ValueError:
+            pass
+
     model, _ = grid_search(
         infos, mean_coverage, genome_length, cw, median_coverage_level,
-        user_purity=user_purity)
+        user_purity=user_purity, cluster_ids=cluster_ids,
+        n_clusters=n_clusters)
 
     ploidies = initialize_ploidies(mean_coverage)
-    model_deviation(model, ploidies, infos, cw)
+    model_deviation(model, ploidies, infos, cw, cluster_ids, n_clusters,
+                    mean_coverage)
     assign_ploidy_calls(segments, model, ploidies, cw, ref_ploidy_fn)
+
+    # heterogeneity marking via clonality scores on the best model
+    # (:2566-2574, gated on evenness for WGS)
+    heterogeneity_proportion = 0.0
+    if cluster_ids is not None and not is_enrichment \
+            and (evenness_score is None
+                 or evenness_score >= EVENNESS_THRESHOLD):
+        _, n_het, het_index, cms = cluster_deviation(
+            infos, cluster_ids, n_clusters, ploidies, cw, mean_coverage)
+        model.heterogeneity_index = het_index
+        if n_het > 0:
+            scores = clonality_scores(
+                infos, cluster_ids, cms, ploidies, cw, n_clusters,
+                model.deviation)
+            het_bases = 0
+            all_bases = 1
+            marked = {id(infos[i].segment) for i, s in scores.items()
+                      if s < 0.5}
+            for seg in segments:
+                all_bases += seg.length
+                if id(seg) in marked:
+                    seg.is_heterogeneous = True
+                    het_bases += seg.length
+            heterogeneity_proportion = het_bases / all_bases
     adjust_ploidy_calls(segments, model)
 
     if somatic_vafs is not None:
@@ -603,4 +813,7 @@ def call_somatic(
         f"##PurityModelFit={model.deviation:.4f}",
         f"##InterModelDistance={model.inter_model_distance:.4f}",
     ]
+    if not is_enrichment:
+        headers.append(
+            f"##HeterogeneityProportion={heterogeneity_proportion:.2f}")
     return model, headers

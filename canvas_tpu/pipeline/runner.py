@@ -339,7 +339,23 @@ def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
             s.chrom, s.begin, s.end)) if ploidy else None,
         quality_threshold=ctx.config.quality_filter_threshold,
         reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+    _write_visualization(ctx, sample.name, called, dip_cov, ploidy)
     return out
+
+
+def _write_visualization(ctx, sample_name, segments, diploid_coverage,
+                         ploidy=None):
+    """Coverage/VF plot data + bedgraph tracks (SingleSampleCallset outputs)."""
+    from canvas_tpu.io import visualization as viz
+
+    out = Path(ctx.output_dir)
+    viz.write_coverage_plot_data(
+        out / f"{sample_name}_CNV.CoverageAndVariantFrequency.txt",
+        segments, ctx.contigs, diploid_coverage, ploidy)
+    viz.write_copy_number_bedgraph(
+        out / f"{sample_name}_CNV.CopyNumber.bedgraph", segments)
+    viz.write_ballele_bedgraph(
+        out / f"{sample_name}_CNV.BAlleleFrequency.bedgraph", segments)
 
 
 def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
@@ -441,6 +457,10 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample]) -> Path:
         denovo_quality_threshold=ctx.config.denovo_quality_threshold,
         quality_threshold=ctx.config.quality_filter_threshold,
         reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+    for name in names:
+        cov = np.concatenate([s.bin_counts for s in segs_by_sample[name]])
+        _write_visualization(ctx, name, segs_by_sample[name],
+                             float(np.median(cov)) if len(cov) else None)
     return out
 
 

@@ -380,3 +380,44 @@ def format_report(metrics: Metrics, counter: BaseCounter | None = None,
         f"LossPrecision\t{metrics.loss_precision:.4f}",
     ]
     return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    """CLI: EvaluateCNV truth.bed CNV.vcf[.gz] [excluded.bed] output_dir
+    (Tools/EvaluateCNV/Program.cs:59)."""
+    import argparse
+    import sys
+    from pathlib import Path as _Path
+
+    p = argparse.ArgumentParser(prog="evaluate_cnv")
+    p.add_argument("truth")
+    p.add_argument("cnv_vcf")
+    p.add_argument("excluded", nargs="?", default=None)
+    p.add_argument("output_dir", nargs="?", default=None)
+    p.add_argument("-q", "--dq-threshold", type=float, default=None,
+                   help="only evaluate calls with DQ >= threshold (de novo)")
+    p.add_argument("--sample-index", type=int, default=0)
+    p.add_argument("--ploidy", type=int, default=None,
+                   help="uniform reference ploidy override")
+    args = p.parse_args(argv)
+    ploidy_fn = (lambda c, s, e: args.ploidy) if args.ploidy else None
+    report_parts = []
+    for passing in (True, False):
+        m = evaluate(args.truth, args.cnv_vcf, args.excluded,
+                     passing_only=passing, dq_threshold=args.dq_threshold,
+                     ploidy_fn=ploidy_fn, sample_index=args.sample_index)
+        report_parts.append(format_report(m, passing_only=passing))
+    report = "\n".join(report_parts) + "\n"
+    if args.output_dir:
+        out = _Path(args.output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        name = "EvaluateCNVResults"
+        if args.dq_threshold is not None:
+            name += "_denovo"
+        (out / f"{name}.txt").write_text(report)
+    sys.stdout.write(report)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -97,3 +97,21 @@ def flag_unique_kmers(
         out_seqs[name] = out.tobytes()
     write_fasta(out_fa, out_seqs)
     return unique_masks
+
+
+def main(argv=None) -> int:
+    """CLI: FlagUniqueKmers genome.fa kmer.fa (Tools/FlagUniqueKmers)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="flag_unique_kmers")
+    p.add_argument("genome_fa")
+    p.add_argument("kmer_fa")
+    p.add_argument("--passes", type=int, default=1,
+                   help="key-space passes to bound memory")
+    args = p.parse_args(argv)
+    flag_unique_kmers(args.genome_fa, args.kmer_fa, n_passes=args.passes)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
