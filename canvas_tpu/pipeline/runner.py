@@ -107,7 +107,26 @@ class WorkflowContext:
 # ---------------------------------------------------------------------------
 
 def ingest_observed(ctx: WorkflowContext, sample: Sample) -> dict[str, np.ndarray]:
-    """Per-contig observed read-start counts from the sample BAM."""
+    """Per-contig observed read-start counts from the sample BAM.
+
+    Uses the native C++ scanner (multithreaded BGZF + single-pass filter)
+    when available; falls back to the pure-Python reader."""
+    from canvas_tpu import native
+
+    refs = native.read_bam_refs(sample.bam_path) if native.available() else None
+    if refs is not None:
+        ref_index = {name: i for i, (name, _) in enumerate(refs)}
+        ref_len = {name: L for name, L in refs}
+        observed = {}
+        for contig in ctx.canonical:
+            if contig in ref_index:
+                obs = native.scan_read_starts(
+                    sample.bam_path, ref_index[contig], ref_len[contig])
+                if obs is not None:
+                    observed[contig] = obs
+                    continue
+            observed[contig] = np.zeros(ctx.contigs.length(contig), np.uint8)
+        return observed
     bam = bamio.BamFile.read(sample.bam_path)
     observed = {}
     for contig in ctx.canonical:
