@@ -415,6 +415,74 @@ def breakpoints_from_path(path: np.ndarray) -> list[int]:
     return bps
 
 
+def segment_coverage_batched(
+    coverage_by_contig: dict[str, np.ndarray],  # contig -> [T_c] (one sample)
+    n_states: int = N_STATES,
+    min_size: int = 10,
+    use_pallas: bool | None = None,
+    chunk: int = 256,
+) -> dict[str, list[int]]:
+    """Per-sample HMM over ALL contigs in one device call.
+
+    In PerSampleHMM mode the emission tables derive from genome-wide
+    statistics (HiddenMarkovModelsRunner.cs:36-50), so every contig shares
+    one table set and contigs batch as padded lanes of a single Viterbi
+    decode (prefix masks).  The Pallas kernel path is used on TPU.
+    """
+    names = [n for n, c in coverage_by_contig.items()]
+    lengths = {n: len(np.atleast_1d(coverage_by_contig[n]).squeeze())
+               for n in names}
+    live = [n for n in names if lengths[n] > min_size]
+    out: dict[str, list[int]] = {n: [0] for n in names if n not in live}
+    if not live:
+        return out
+
+    allcov = np.concatenate(
+        [np.asarray(coverage_by_contig[n], np.float64).reshape(-1)
+         for n in live])
+    q = stats.quartiles(allcov.astype(np.float32))
+    median = q[1]
+    pseudo_var = (q[2] - q[0]) ** 2
+    tables, _, _ = build_emission_tables(
+        allcov[:, None], n_states, np.array([median]), np.array([pseudo_var]))
+    max_threshold = median / 2.0 * n_states
+
+    T = max(lengths[n] for n in live)
+    B = len(live)
+    cov = np.zeros((B, T, 1), dtype=np.float32)
+    mask = np.zeros((B, T), dtype=bool)
+    for b, n in enumerate(live):
+        c = np.minimum(np.asarray(coverage_by_contig[n],
+                                  np.float64).reshape(-1), max_threshold)
+        cov[b, :lengths[n], 0] = c
+        mask[b, :lengths[n]] = True
+
+    logt_np = np.where(tables > 0,
+                       np.log(np.maximum(np.asarray(tables, np.float64),
+                                         1e-300)), NEG_INF)
+    log_trans = np.asarray(log_transition(n_states), np.float32)
+    log_init = np.log(np.full(n_states, 1.0 / n_states, np.float32))
+    x = jnp.asarray(cov)
+    m = jnp.asarray(mask)
+    V = tables.shape[-1]
+    idx = jnp.clip(jnp.rint(x[..., 0]).astype(jnp.int32), 0, V - 1)
+    logt = jnp.asarray(logt_np[:, 0, :], jnp.float32)      # [S, V]
+    log_em = jnp.where(m[..., None], logt.T[idx], 0.0)     # [B, T, S]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from canvas_tpu.ops.viterbi_pallas import viterbi_decode_pallas
+        paths = np.asarray(viterbi_decode_pallas(
+            log_em, log_trans, jnp.asarray(log_init), m, chunk=chunk))
+    else:
+        paths = np.asarray(viterbi_decode_chunked(
+            log_em, jnp.asarray(log_trans), jnp.asarray(log_init), m,
+            chunk=chunk))
+    for b, n in enumerate(live):
+        out[n] = breakpoints_from_path(paths[b, :lengths[n]])
+    return out
+
+
 def segment_coverage(
     coverage_by_contig: dict[str, np.ndarray],  # contig -> [T_c, D]
     per_sample: bool = True,

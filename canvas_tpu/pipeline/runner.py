@@ -246,8 +246,8 @@ def run_partition(
     for name, bins in samples_bins.items():
         cov = cov_cache[name]
         if method == "PerSampleHMM":
-            bps = hmm.segment_coverage(
-                {c: v[:, None] for c, v in cov.items()}, per_sample=True)
+            # all contigs in one batched device decode (pallas on TPU)
+            bps = hmm.segment_coverage_batched(cov)
         elif method == "HMM":
             bps = hmm.segment_coverage(
                 {c: np.stack([cov_cache[n][c] for n in samples_bins], axis=1)

@@ -129,3 +129,17 @@ def test_emission_multisample_grouped(rng):
 def test_breakpoints_from_path():
     path = np.array([2, 2, 2, 1, 1, 2, 2])
     assert hmm.breakpoints_from_path(path) == [0, 3, 5]
+
+
+def test_segment_coverage_batched_matches_percontig(rng):
+    """Batched all-contig decode must match the per-contig path."""
+    covs = {}
+    for i, T in enumerate([300, 150, 220]):
+        c = rng.poisson(100.0, size=T).astype(np.float64)
+        c[T // 3: T // 2] = rng.poisson(50.0, size=T // 2 - T // 3)
+        covs[f"chr{i+1}"] = c
+    covs["chrS"] = rng.poisson(100.0, size=5).astype(np.float64)  # tiny
+    want = hmm.segment_coverage({k: v[:, None] for k, v in covs.items()},
+                                per_sample=True)
+    got = hmm.segment_coverage_batched(covs, use_pallas=False, chunk=64)
+    assert got == want
