@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--types", nargs="+", required=True,
                     help="Father/Mother/Proband/Sibling/Other per sample")
     sp.add_argument("--b-allele-vcfs", nargs="*", default=None)
+    sp.add_argument("--common-cnvs-bed", default=None,
+                    help="bed of population CNVs forced into segmentation")
     _common(sp)
     return p
 
@@ -88,7 +90,8 @@ def main(argv=None) -> int:
             runner.Sample(n, b, sample_type=t, normal_vcf=v,
                           ploidy_vcf=args.ploidy_vcf)
             for n, b, t, v in zip(args.names, args.bams, args.types, vcfs)]
-        out = runner.small_pedigree_wgs(ctx, samples)
+        out = runner.small_pedigree_wgs(
+            ctx, samples, common_cnvs_bed=args.common_cnvs_bed)
     print(f"CNV calls written to {out}")
     return 0
 

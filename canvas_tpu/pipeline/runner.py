@@ -426,7 +426,65 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
     return out
 
 
-def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample]) -> Path:
+def _apply_common_cnvs(
+    ctx: WorkflowContext,
+    samples: list[Sample],
+    parts: dict[str, dict[str, list]],
+    common_cnvs_bed: str,
+) -> dict[str, dict[str, list]]:
+    """Common-CNV SetA/SetB alternative segmentation
+    (CanvasPedigreeCaller.CreateSegmentSetsFromCommonCnvs :211-331)."""
+    from canvas_tpu.models import common_cnv as cc
+    from canvas_tpu.models import pedigree as ped
+    from canvas_tpu.tools.evaluate_cnv import load_exclude_bed
+
+    intervals_by_contig = load_exclude_bed(common_cnvs_bed)
+    names = [s.name for s in samples]
+    # build regions per sample/contig
+    regions_by_contig: dict[str, dict[str, list[cc.OverlappingRegion]]] = {}
+    for contig, intervals in intervals_by_contig.items():
+        per_sample = {}
+        ok = True
+        for name in names:
+            segs = parts[name].get(contig)
+            if not segs:
+                ok = False
+                break
+            starts = np.concatenate([s.bin_starts for s in segs])
+            ends = np.concatenate([s.bin_ends for s in segs])
+            counts = np.concatenate([s.bin_counts for s in segs])
+            common_segs = cc.common_segments_from_bed(
+                intervals, contig, starts, ends, counts)
+            per_sample[name] = cc.merge_common_cnv_segments(segs, common_segs)
+        if not ok:
+            continue
+        n_regions = {len(v) for v in per_sample.values()}
+        if len(n_regions) != 1:
+            continue  # asymmetric merges; keep original segmentation
+        regions_by_contig[contig] = per_sample
+    if not regions_by_contig:
+        return parts
+    # per-sample stats/models for the set choice
+    stats_by_sample = {
+        n: ped.SampleStats.from_segments(_flatten(parts[n], ctx.contigs))
+        for n in names}
+    models = {
+        n: ped.CopyNumberModel(ped.MAX_COPY_NUMBER,
+                               stats_by_sample[n].max_coverage,
+                               stats_by_sample[n].mean_coverage,
+                               stats_by_sample[n].mean_maf_coverage)
+        for n in names}
+    out = {n: dict(parts[n]) for n in names}
+    for contig, per_sample in regions_by_contig.items():
+        cc.choose_best_sets(per_sample, stats_by_sample, models,
+                            ped.MAX_COPY_NUMBER)
+        for n in names:
+            out[n][contig] = cc.resolve_regions(per_sample[n])
+    return out
+
+
+def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
+                       common_cnvs_bed: str | None = None) -> Path:
     """SmallPedigree-WGS: per-sample bin/clean -> multisample intersection ->
     PerSampleHMM -> joint pedigree caller -> multi-sample VCF."""
     cleaned: dict[str, BinSet] = {}
@@ -451,6 +509,8 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample]) -> Path:
     # multi-sample bin intersection (Utilities.MergeMultiSampleCleanedBedFile)
     cleaned = intersect_bins(cleaned)
     parts = run_partition(ctx, cleaned, "PerSampleHMM", is_germline=True)
+    if common_cnvs_bed:
+        parts = _apply_common_cnvs(ctx, samples, parts, common_cnvs_bed)
     segs_by_sample: dict[str, list] = {}
     for s in samples:
         by_contig = parts[s.name]

@@ -141,3 +141,25 @@ def test_small_pedigree_end_to_end(reference_dir, tmp_path):
     assert any(ch == "chr2" and s < 110_000 and e > 50_000
                for ch, s, e in dn_spans)
     assert not any(ch == "chr1" for ch, s, e in dn_spans)
+
+
+def test_small_pedigree_with_common_cnvs(reference_dir, tmp_path):
+    """A common-CNV bed matching a shared event forces its boundaries."""
+    plan = {"chr1": [(80_000, 140_000, 3)]}
+    samples = []
+    for name, t in (("father", "Father"), ("mother", "Mother"),
+                    ("proband", "Proband")):
+        bam = tmp_path / f"{name}.bam"
+        make_bam(bam, np.random.default_rng(13),
+                 plan if name != "mother" else {})
+        samples.append(runner.Sample(name, str(bam), sample_type=t))
+    bed = tmp_path / "common.bed"
+    bed.write_text("chr1\t80000\t140000\n")
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    out_vcf = runner.small_pedigree_wgs(ctx, samples,
+                                        common_cnvs_bed=str(bed))
+    assert out_vcf.exists()
+    import gzip
+    body = [l for l in gzip.open(out_vcf, "rt") if not l.startswith("#")]
+    assert len(body) >= 2
