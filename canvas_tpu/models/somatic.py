@@ -61,7 +61,7 @@ DEVIATION_SCORE_WEIGHT = 0.375
 DIPLOID_DISTANCE_WEIGHT = 0.125
 HETEROGENEITY_WEIGHT = 0.202
 DISTANCE_RATIO = 0.3
-MINIMUM_CALL_SIZE = 50000
+MINIMUM_CALL_SIZE = 10   # SomaticCallerParameters.cs:6
 MAX_RELATED_MODELS = 5
 
 
@@ -180,8 +180,19 @@ def initialize_ploidies(mean_coverage: float,
 def adjusted_maf_batch(theoretical: np.ndarray,
                        coverage: np.ndarray) -> np.ndarray:
     """AdjustedMAF (:686-716) vectorized over model points: expected
-    min(i, n-i)/n under Binomial(n=int(coverage), p=theoretical/coverage)."""
-    from scipy.special import gammaln
+    min(i, c-i)/c under Binomial(n=int(c), p=theoretical/c).
+
+    The reference sums the pmf over i = 0..n per point; that is O(c) per
+    point and explodes for enrichment-scale coverages (raw target counts).
+    Closed form instead:  min(i, c-i) = i - max(0, 2i - c), so with
+    m = smallest integer i with 2i > c,
+
+        E[min] = n*p - 2*S1 + c*S0
+        S0 = P[X >= m]              = betainc(m, n-m+1, p)
+        S1 = E[X; X >= m] = n*p*P[X' >= m-1],  X' ~ Binomial(n-1, p)
+
+    (using i*pmf(n,p,i) = n*p*pmf(n-1,p,i-1)).  O(1) per point, exact."""
+    from scipy.special import betainc
 
     theoretical = np.asarray(theoretical, dtype=np.float64)
     coverage = np.asarray(coverage, dtype=np.float64)
@@ -189,18 +200,24 @@ def adjusted_maf_batch(theoretical: np.ndarray,
     ok = (coverage >= 1.0) & (theoretical != 0)
     if not ok.any():
         return out
-    n = coverage[ok].astype(np.int64)
-    mean = theoretical[ok] / coverage[ok]
-    n_max = int(n.max())
-    i = np.arange(n_max + 1, dtype=np.float64)[None, :]
-    nn = n[:, None].astype(np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        logpmf = (gammaln(nn + 1) - gammaln(i + 1) - gammaln(nn - i + 1)
-                  + i * np.log(mean[:, None])
-                  + (nn - i) * np.log(1 - mean[:, None]))
-        pmf = np.where(i <= nn, np.exp(logpmf), 0.0)
-    mean_obs = np.sum(np.minimum(i, coverage[ok][:, None] - i) * pmf, axis=1)
-    out[ok] = mean_obs / coverage[ok]
+    c = coverage[ok]
+    n = np.floor(c)
+    p = theoretical[ok] / c
+    m = np.floor(c / 2.0) + 1.0          # smallest integer i with 2i > c
+
+    def upper_tail(a, nn):
+        """P[Binomial(nn, p) >= a]; a, nn float arrays."""
+        t = np.zeros_like(p)
+        full = a <= 0
+        t[full] = 1.0
+        live = (~full) & (a <= nn)
+        t[live] = betainc(a[live], nn[live] - a[live] + 1.0, p[live])
+        return t
+
+    s0 = upper_tail(m, n)
+    s1 = n * p * upper_tail(m - 1.0, n - 1.0)
+    mean_obs = n * p - 2.0 * s1 + c * s0
+    out[ok] = mean_obs / c
     return out
 
 
@@ -379,13 +396,15 @@ def grid_search(
 ) -> tuple[PurityModel, list[PurityModel]]:
     """The coverage x purity grid (:1875-1933) + model selection
     (:1939-2056).  Returns (best model, all acceptable models)."""
+    from canvas_tpu.models import somatic_grid
+
     ploidies = initialize_ploidies(mean_coverage)
     min_cov = int(max(10, median_coverage_level / LOWER_COVERAGE_FACTOR))
     max_cov = int(max(10, median_coverage_level * UPPER_COVERAGE_FACTOR))
     if user_diploid_coverage is not None:
         min_cov = max_cov = int(user_diploid_coverage)
-    all_models: list[PurityModel] = []
-    best_deviation = np.inf
+    grid_cov: list[int] = []
+    grid_pur: list[int] = []
     for coverage in range(min_cov, max_cov + 1):
         if min_minor_allele_coverage is not None:
             min_purity = int(max(min_purity_hard_limit,
@@ -397,15 +416,30 @@ def grid_search(
         if user_purity is not None:
             min_purity = max_purity = int(user_purity * 100)
         for purity in range(min_purity, max_purity + 1):
-            model = PurityModel(float(coverage), purity / 100.0)
-            model_deviation(model, ploidies, infos, coverage_weight,
-                            cluster_ids, n_clusters, mean_coverage)
-            diploid_model_distance(model, infos, genome_length)
-            ok_ploidy = MIN_ALLOWED_PLOIDY < model.ploidy < MAX_ALLOWED_PLOIDY
-            if ok_ploidy:
-                if model.deviation < best_deviation:
-                    best_deviation = model.deviation
-                all_models.append(model)
+            grid_cov.append(coverage)
+            grid_pur.append(purity)
+    res = somatic_grid.evaluate_grid(
+        np.asarray(grid_cov, np.float64),
+        np.asarray(grid_pur, np.float64) / 100.0,
+        infos, ploidies, coverage_weight, genome_length,
+        cluster_ids, n_clusters, mean_coverage)
+    all_models: list[PurityModel] = []
+    best_deviation = np.inf
+    for k in range(len(grid_cov)):
+        if not (MIN_ALLOWED_PLOIDY < res["ploidy"][k] < MAX_ALLOWED_PLOIDY):
+            continue
+        model = PurityModel(float(grid_cov[k]), grid_pur[k] / 100.0)
+        model.deviation = float(res["deviation"][k])
+        model.precision_deviation = float(res["precision"][k])
+        model.accuracy_deviation = float(res["accuracy"][k])
+        model.ploidy = float(res["ploidy"][k])
+        model.percent_cn = res["percent_cn"][k]
+        model.percent_normal = float(res["percent_normal"][k])
+        model.diploid_distance = float(res["diploid_distance"][k])
+        model.heterogeneity_index = float(res["het_index"][k])
+        model.cns = res["cns"][k]
+        best_deviation = min(best_deviation, model.deviation)
+        all_models.append(model)
     if not all_models:
         raise RuntimeError("unable to find any viable purity/ploidy model")
 

@@ -209,3 +209,124 @@ def bin_sample(
                 t["possible"], t["observed"], t["is_gc"], bin_size,
                 t["offset"], mode, t.get("gc_weights"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# GC-content-weighted coverage mode preparation (CanvasBin.cs:330-506)
+# ---------------------------------------------------------------------------
+
+N_GC_BINS = 101
+
+
+def non_zero_mean(x: np.ndarray) -> int:
+    """Utilities.NonZeroMean: truncated integer mean over nonzero entries."""
+    nz = x[x > 0]
+    if len(nz) == 0:
+        return 0
+    return int(np.sum(nz, dtype=np.int64) // len(nz))
+
+
+def mean_fragment_size(fragment_lengths: dict[str, np.ndarray]) -> int:
+    """MeanFragmentSize (:155-168): NonZeroMean of per-contig NonZeroMeans."""
+    per_chr = np.array([non_zero_mean(v) for v in fragment_lengths.values()],
+                       dtype=np.int16)
+    return non_zero_mean(per_chr)
+
+
+def read_gc_content(
+    is_gc: np.ndarray,
+    fragment_lengths: np.ndarray,
+    mean_fragment: int,
+    mean_fragment_cutoff: int = 3,
+) -> np.ndarray:
+    """Per-position forward-fragment GC percent (CanvasBin.cs:450-506):
+    window = stored fragment length (clamped at 3x mean; mean when 0);
+    gc[pos] = min(100 * gcCount // windowLen, 101); tail positions beyond
+    L - 3*mean - 1 stay 0.  Vectorized via prefix sums."""
+    L = len(is_gc)
+    out = np.zeros(L, dtype=np.uint8)
+    limit = L - mean_fragment * mean_fragment_cutoff - 1
+    if limit <= 0:
+        return out
+    frag = fragment_lengths[:limit].astype(np.int64)
+    frag = np.where(frag == 0, mean_fragment,
+                    np.minimum(frag, mean_fragment * mean_fragment_cutoff))
+    gccum = np.concatenate([[0], np.cumsum(is_gc.astype(np.int64))])
+    pos = np.arange(limit, dtype=np.int64)
+    ends = np.minimum(pos + frag, L)
+    gc_count = gccum[ends] - gccum[pos]
+    out[:limit] = np.minimum(100 * gc_count // frag, N_GC_BINS).astype(np.uint8)
+    return out
+
+
+def observed_vs_expected_gc(
+    read_gc_by_contig: dict[str, np.ndarray],
+    observed_by_contig: dict[str, np.ndarray],
+) -> np.ndarray:
+    """Per-GC-bin observed/expected correction factors
+    (ComputeObservedVsExpectedGC :330-405).  GC values of 101 are counted
+    in their own (out-of-range-capped) bin like the reference byte cap."""
+    expected = np.zeros(N_GC_BINS + 1, dtype=np.int64)
+    observed = np.zeros(N_GC_BINS + 1, dtype=np.int64)
+    for chrom, gc in read_gc_by_contig.items():
+        if chrom not in observed_by_contig:
+            continue
+        gc64 = gc.astype(np.int64)
+        expected += np.bincount(gc64, minlength=N_GC_BINS + 1)
+        observed += np.bincount(
+            gc64, weights=observed_by_contig[chrom].astype(np.int64),
+            minlength=N_GC_BINS + 1).astype(np.int64)
+    expected = expected[:N_GC_BINS]
+    observed = observed[:N_GC_BINS]
+    sum_obs = observed.sum()
+    sum_exp = expected.sum()
+    expected = np.where(expected == 0, 1, expected)
+    observed = np.where(observed == 0, 1, observed)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = (observed.astype(np.float32) / expected.astype(np.float32)) \
+            * (np.float32(sum_exp) / np.float32(max(sum_obs, 1)))
+    return ratio.astype(np.float32)
+
+
+def gc_weights_for_contig(read_gc: np.ndarray,
+                          obs_vs_exp: np.ndarray) -> np.ndarray:
+    """Per-position weight = observedVsExpectedGC[readGC[pos]]
+    (CanvasBin.cs:611)."""
+    idx = np.minimum(read_gc.astype(np.int64), N_GC_BINS - 1)
+    return obs_vs_exp[idx]
+
+
+def bin_predefined_np(
+    possible: np.ndarray,
+    observed: np.ndarray,
+    is_gc: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    mode: str = "TruncatedDynamicRange",
+    gc_weights: np.ndarray | None = None,
+):
+    """Predefined-bins counting (enrichment manifests; CanvasBin.cs:640-647):
+    same per-bin accumulation as variable binning but over given spans.
+    Returns (gc, count) arrays aligned with starts/ends."""
+    possible = np.asarray(possible, dtype=bool)
+    obs = np.asarray(observed, dtype=np.float64)
+    if mode == "TruncatedDynamicRange":
+        vals = np.where(possible, np.minimum(obs, TRUNCATED_CAP), 0.0)
+    elif mode == "GCContentWeighted":
+        assert gc_weights is not None
+        vals = np.where(possible,
+                        np.minimum(TRUNCATED_CAP, obs / gc_weights), 0.0)
+    else:
+        vals = np.where(possible, obs, 0.0)
+    ocum = np.concatenate([[0.0], np.cumsum(vals)])
+    gccum = np.concatenate([[0], np.cumsum(is_gc.astype(np.int64))])
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    counts = ocum[ends] - ocum[starts]
+    if mode == "GCContentWeighted":
+        counts = np.round(counts)
+    gc_count = gccum[ends] - gccum[starts]
+    nuc = (ends - starts).astype(np.float32)
+    gc_pct = (np.float32(100.0) * gc_count.astype(np.float32)
+              / np.maximum(nuc, 1)).astype(np.int16)
+    return gc_pct, counts.astype(np.float32)

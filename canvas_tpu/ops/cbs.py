@@ -25,6 +25,7 @@ identical accept/reject decisions, no sequential device work.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import numpy as np
@@ -72,19 +73,50 @@ def trimmed_variance(coverage_by_contig: dict[str, np.ndarray],
 # Sequential stopping boundary (GetBoundary.cs)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
+def _hyper_cdf_matrix(n_perm: int, n1s: int) -> np.ndarray:
+    """cdf[k, i-1] = phyper(k; n1s, n_perm-n1s, i) for k < n1s, i = 1..n_perm.
+
+    The reference probes this CDF one scalar at a time inside the eta
+    bisection (GetBoundary.EtaBoundary); the matrix is eta-independent, so
+    build it once per (n_perm, n1s) from a vectorized gammaln grid and let
+    every bisection step reduce to a thresholding scan."""
+    from scipy.special import gammaln
+
+    def binomln(n, k):
+        return gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+
+    dn = n_perm - n1s
+    i = np.arange(1, n_perm + 1, dtype=np.float64)
+    j = np.arange(0, n1s, dtype=np.float64)
+    ij = i[None, :] - j[:, None]                       # draws from the dn pool
+    valid = (ij >= 0) & (ij <= dn)
+    logpmf = (binomln(float(n1s), j)[:, None]
+              + binomln(float(dn), np.where(valid, ij, 0.0))
+              - binomln(float(n_perm), i)[None, :])
+    pmf = np.where(valid, np.exp(logpmf), 0.0)
+    return np.minimum(np.cumsum(pmf, axis=0), 1.0)
+
+
 def _eta_boundary(n_perm: int, eta0: float, n1s: int) -> np.ndarray:
     """First n1s boundary values: smallest i with phyper(k; n1s, n-n1s, i)
-    <= eta0 for k = 0..n1s-1 (GetBoundary.EtaBoundary)."""
-    dn = n_perm - n1s
+    <= eta0 for k = 0..n1s-1 (GetBoundary.EtaBoundary).  The reference scans
+    i = 1..n_perm once, advancing k at each crossing — equivalent to the
+    per-k first-crossing index made strictly increasing in k."""
+    cdf = _hyper_cdf_matrix(n_perm, n1s)
+    hit = cdf <= eta0                                  # decreasing cdf in i
+    first = np.argmax(hit, axis=1) + 1                 # 1-based first i
+    first[~hit.any(axis=1)] = 0
     out = np.zeros(n1s, dtype=np.uint32)
-    k = 0
-    for i in range(1, n_perm + 1):
-        if k >= n1s:
+    prev = 0
+    for k in range(n1s):
+        if first[k] == 0:
             break
-        t = sps.hypergeom.cdf(k, n1s + dn, n1s, i)
-        if t <= eta0:
-            out[k] = i
-            k += 1
+        v = max(int(first[k]), prev + 1)
+        if v > n_perm:
+            break
+        out[k] = v
+        prev = v
     return out
 
 
@@ -129,10 +161,12 @@ def _p_exceed(n_perm: int, n1s: int, bdry: np.ndarray) -> float:
     return float(p)
 
 
+@functools.lru_cache(maxsize=8)
 def compute_boundary(n_perm: int = DEFAULT_NPERM, alpha: float = DEFAULT_ALPHA,
                      eta: float = DEFAULT_ETA, tol: float = 1e-2) -> np.ndarray:
     """Sequential boundary array, concatenated triangles for j = 1..maxOnes
-    (GetBoundary.ComputeBoundary)."""
+    (GetBoundary.ComputeBoundary).  Cached: the boundary depends only on
+    (n_perm, alpha, eta), which are run-level constants."""
     max_ones = int(np.floor(n_perm * alpha) + 1)
     sbdry = np.zeros(max_ones * (max_ones + 1) // 2, dtype=np.uint32)
     sbdry[0] = n_perm - int(n_perm * eta)

@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--normal-bam", default=None)
         s.add_argument("--sample-b-allele-vcf", default=None)
         s.add_argument("--somatic-vcf", default=None)
+        s.add_argument("--manifest", default=None,
+                       help="Nextera manifest / target BED (enrichment modes)")
         _common(s)
 
     sp = sub.add_parser("SmallPedigree-WGS")
@@ -78,8 +80,13 @@ def main(argv=None) -> int:
                               ploidy_vcf=args.ploidy_vcf)
         normal = runner.Sample(args.sample_name + "_N", args.normal_bam) \
             if args.normal_bam else None
+        manifest = args.manifest
+        if manifest is None and "nrichment" in args.mode:
+            print("warning: enrichment mode without --manifest; "
+                  "running whole-genome binning", file=sys.stderr)
         out = runner.somatic_wgs(ctx, tumor, normal,
-                                 somatic_vcf=args.somatic_vcf)
+                                 somatic_vcf=args.somatic_vcf,
+                                 manifest_path=manifest)
     else:  # SmallPedigree-WGS
         if len(args.bams) != len(args.names) or len(args.bams) != len(args.types):
             print("--bams/--names/--types must have the same length",

@@ -39,7 +39,7 @@ from canvas_tpu.models.segment_model import (
     SEGMENT_SIZE_CUTOFF, merge_segments, set_filters)
 from canvas_tpu.ops import binning, hmm, metrics, normalize, ratio, wavelets
 from canvas_tpu.ops import segments as segops
-from canvas_tpu.pipeline import segments_io
+from canvas_tpu.pipeline import profiling, segments_io
 
 
 @dataclass
@@ -340,17 +340,23 @@ def _flatten(segments_by_contig: dict[str, list], contigs: ContigTable):
 
 def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
     """Germline-WGS: bin -> clean -> wavelets (germline) -> diploid caller."""
+    prof = profiling.reset()
     ploidy = load_ploidy_vcf(sample.ploidy_vcf) if sample.ploidy_vcf else None
-    bins, _ = run_bin(ctx, sample)
-    cleaned, _ = run_clean(ctx, sample, bins)
-    vf = run_snv(ctx, sample, is_somatic=False)
-    parts = run_partition(ctx, {sample.name: cleaned}, "Wavelets",
-                          is_germline=True, ploidy=ploidy)
+    with prof.stage("CanvasBin"):
+        bins, _ = run_bin(ctx, sample)
+    with prof.stage("CanvasClean", bins=len(bins)):
+        cleaned, _ = run_clean(ctx, sample, bins)
+    with prof.stage("CanvasSNV"):
+        vf = run_snv(ctx, sample, is_somatic=False)
+    with prof.stage("CanvasPartition", bins=len(cleaned)):
+        parts = run_partition(ctx, {sample.name: cleaned}, "Wavelets",
+                              is_germline=True, ploidy=ploidy)
     segs_by_contig = parts[sample.name]
     attach_alleles(ctx, sample, segs_by_contig, vf)
     segs = _flatten(segs_by_contig, ctx.contigs)
-    called, dip_cov = diploid_caller.call_variants(
-        segs, ctx.config.quality_filter_threshold, ctx.config.qscore)
+    with prof.stage("CanvasDiploidCaller", segments=len(segs)):
+        called, dip_cov = diploid_caller.call_variants(
+            segs, ctx.config.quality_filter_threshold, ctx.config.qscore)
     out = Path(ctx.output_dir) / f"{sample.name}_CNV.vcf.gz"
     vcf_write.write_segments(
         out, [called], [sample.name], ctx.contigs, diploid_coverage=dip_cov,
@@ -359,6 +365,7 @@ def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
         quality_threshold=ctx.config.quality_filter_threshold,
         reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
     _write_visualization(ctx, sample.name, called, dip_cov, ploidy)
+    prof.write(Path(ctx.output_dir) / f"{sample.name}_profile.json")
     return out
 
 
@@ -377,27 +384,78 @@ def _write_visualization(ctx, sample_name, segments, diploid_coverage,
         out / f"{sample_name}_CNV.BAlleleFrequency.bedgraph", segments)
 
 
+def run_bin_predefined(ctx: WorkflowContext, sample: Sample,
+                       manifest) -> BinSet:
+    """Enrichment binning: count into manifest target bins."""
+    from canvas_tpu.io.manifest import predefined_bins
+
+    ckpt = ctx.checkpointer
+    name = f"CanvasBin_{sample.name}.binned.gz"
+
+    def produce():
+        obs = ingest_observed(ctx, sample)
+        pb = predefined_bins(manifest)
+        cid, st, en, gc, cnt = [], [], [], [], []
+        for i, cname in enumerate(ctx.contigs.names):
+            if cname not in pb or cname not in ctx.tracks:
+                continue
+            starts, ends = pb[cname]
+            t = ctx.tracks[cname]
+            g, c = binning.bin_predefined_np(
+                t["possible"], obs.get(cname, np.zeros(t["length"], np.uint8)),
+                t["is_gc"], starts, ends)
+            cid.append(np.full(len(starts), i, np.int32))
+            st.append(starts); en.append(ends); gc.append(g); cnt.append(c)
+        return BinSet(ctx.contigs, np.concatenate(cid), np.concatenate(st),
+                      np.concatenate(en), np.concatenate(gc),
+                      np.concatenate(cnt))
+
+    return ckpt.run(name, produce,
+                    load=lambda p: BinSet.read_text(p, ctx.contigs),
+                    save=lambda b, p: b.write_text(p))
+
+
 def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
                 normal: Sample | None = None,
-                somatic_vcf: str | None = None) -> Path:
-    """Somatic-WGS: bin -> clean [-> T/N ratio] -> wavelets -> somatic."""
+                somatic_vcf: str | None = None,
+                manifest_path: str | None = None) -> Path:
+    """Somatic-WGS (wavelets) / Somatic-Enrichment (manifest bins + CBS +
+    smoothing): bin -> [smooth] -> clean [-> T/N ratio] -> partition ->
+    somatic caller."""
+    from canvas_tpu.io.manifest import Manifest
+    from canvas_tpu.ops import smooth as smooth_ops
+
+    is_enrichment = manifest_path is not None
+    manifest = Manifest.read(manifest_path) if is_enrichment else None
     ploidy = load_ploidy_vcf(tumor.ploidy_vcf) if tumor.ploidy_vcf else None
-    t_bins, _ = run_bin(ctx, tumor)
-    t_clean, local_sd = run_clean(ctx, tumor, t_bins, compute_local_sd=True)
+    if is_enrichment:
+        t_bins = run_bin_predefined(ctx, tumor, manifest)
+        t_bins = smooth_ops.smooth(t_bins)
+    else:
+        t_bins, _ = run_bin(ctx, tumor)
+    t_clean, local_sd = run_clean(ctx, tumor, t_bins,
+                                  compute_local_sd=not is_enrichment)
     work = t_clean
     if normal is not None:
-        n_bins, _ = run_bin(ctx, normal)
+        if is_enrichment:
+            n_bins = run_bin_predefined(ctx, normal, manifest)
+            n_bins = smooth_ops.smooth(n_bins)
+        else:
+            n_bins, _ = run_bin(ctx, normal)
         n_clean, _ = run_clean(ctx, normal, n_bins)
         ratios = ratio.lsnorm_ratios(t_clean, n_clean)
         work = ratio.ratios_to_counts(ratios)
     vf = run_snv(ctx, tumor, is_somatic=True)
     cov = coverage_by_contig(work)
     evenness = None
-    try:
-        evenness = metrics.evenness_score(cov, ctx.config.evenness_score_window)
-    except Exception:
-        pass
-    parts = run_partition(ctx, {tumor.name: work}, "Wavelets",
+    if not is_enrichment:
+        try:
+            evenness = metrics.evenness_score(
+                cov, ctx.config.evenness_score_window)
+        except Exception:
+            pass
+    parts = run_partition(ctx, {tumor.name: work},
+                          "CBS" if is_enrichment else "Wavelets",
                           is_germline=False, ploidy=ploidy)
     segs_by_contig = parts[tumor.name]
     attach_alleles(ctx, tumor, segs_by_contig, vf)
@@ -405,11 +463,15 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
     genome_length = int(np.sum(ctx.contigs.lengths_array))
     ploidy_fn = ploidy.segment_ploidy_fn() if ploidy else None
     model, headers = somatic_caller.call_somatic(
-        segs, genome_length, evenness_score=evenness, ref_ploidy_fn=ploidy_fn)
+        segs, genome_length, evenness_score=evenness, ref_ploidy_fn=ploidy_fn,
+        is_enrichment=is_enrichment)
     if local_sd is not None:
         headers.append(f"##LocalSDmetric={local_sd:.2f}")
     qscore.assign_quality_scores(segs, "Logistic", ctx.config.qscore)
-    merged = merge_segments(segs, somatic_caller.MINIMUM_CALL_SIZE)
+    # enrichment merges with a 1 bp span so calls never bridge the gaps
+    # between off-adjacent targets (SomaticCaller.cs:455-456)
+    merged = merge_segments(segs, somatic_caller.MINIMUM_CALL_SIZE,
+                            maximum_merge_span=1 if is_enrichment else 10000)
     qscore.assign_quality_scores(merged, "Logistic", ctx.config.qscore)
     set_filters(merged, ctx.config.quality_filter_threshold,
                 SEGMENT_SIZE_CUTOFF)

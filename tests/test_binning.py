@@ -115,3 +115,38 @@ def test_trailing_partial_bin_dropped(rng):
     s, e, g, c = binning.bin_contig_np(possible, observed, is_gc, 30, 0)
     assert len(s) == 3  # 100 // 30
     assert e[-1] == 90
+
+
+def test_read_gc_content_matches_reference_loop(rng):
+    """Vectorized fragment-GC vs the literal per-position loop."""
+    L = 2000
+    is_gc = rng.random(L) < 0.4
+    frag = np.zeros(L, dtype=np.int16)
+    idx = rng.integers(0, L, size=300)
+    frag[idx] = rng.integers(50, 900, size=300).astype(np.int16)
+    mean_frag = 200
+
+    got = binning.read_gc_content(is_gc, frag, mean_frag)
+    # literal loop (CanvasBin.cs:469-493)
+    want = np.zeros(L, dtype=np.uint8)
+    limit = L - mean_frag * 3 - 1
+    for pos in range(limit):
+        cur = mean_frag if frag[pos] == 0 else min(int(frag[pos]), mean_frag * 3)
+        gc_count = int(np.sum(is_gc[pos:pos + cur]))
+        want[pos] = min(100 * gc_count // cur, 101)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_observed_vs_expected_gc(rng):
+    gc = rng.integers(0, 101, size=5000).astype(np.uint8)
+    obs = rng.poisson(0.5, size=5000).astype(np.uint8)
+    ratio = binning.observed_vs_expected_gc({"chr1": gc}, {"chr1": obs})
+    assert ratio.shape == (101,)
+    # globally the correction is ~1 on unbiased data
+    assert 0.5 < np.median(ratio[20:80]) < 2.0
+
+
+def test_non_zero_mean():
+    assert binning.non_zero_mean(np.array([0, 0, 10, 20], np.int16)) == 15
+    assert binning.non_zero_mean(np.array([0, 0], np.int16)) == 0
+    assert binning.non_zero_mean(np.array([3, 4], np.int16)) == 3  # truncation

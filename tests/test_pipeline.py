@@ -163,3 +163,69 @@ def test_small_pedigree_with_common_cnvs(reference_dir, tmp_path):
     import gzip
     body = [l for l in gzip.open(out_vcf, "rt") if not l.startswith("#")]
     assert len(body) >= 2
+
+
+def make_somatic_bam(path, vcf_path, plan, maf_plan):
+    """BAM with het-SNP allele flips + matching normal VCF (ref=A, alt=C).
+
+    Sites every 1 kb (offset 500); reads covering a site carry 'C' with the
+    region's minor-allele fraction so the somatic caller gets usable MAFs."""
+    rng = np.random.default_rng(77)
+    site_pos = np.arange(500, L, 1000)
+    all_records = []
+    refs = [("chr1", L), ("chr2", L)]
+    vcf_lines = [
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ttumor",
+    ]
+    for ci, contig in enumerate(("chr1", "chr2")):
+        cn = np.full(L, 2, dtype=np.float64)
+        for s, e, c in plan.get(contig, []):
+            cn[s:e] = c
+        maf = np.full(L, 0.5)
+        for s, e, q in maf_plan.get(contig, []):
+            maf[s:e] = q
+        recs = simulate_reads(np.random.default_rng(1000 + ci), L, cn)
+        for r in recs:
+            r.ref_id = ci
+            lo = np.searchsorted(site_pos, r.pos)
+            hi = np.searchsorted(site_pos, r.pos + 50)
+            if hi > lo:
+                seq = list(r.seq)
+                for p in site_pos[lo:hi]:
+                    if rng.random() < maf[p]:
+                        seq[p - r.pos] = "C"
+                r.seq = "".join(seq)
+        all_records.extend(recs)
+        for p in site_pos:
+            vcf_lines.append(
+                f"{contig}\t{p + 1}\t.\tA\tC\t50\tPASS\t.\tGT:GQX\t0/1:99")
+    bamio.write_bam(path, refs, all_records)
+    Path(vcf_path).write_text("\n".join(vcf_lines) + "\n")
+
+
+def test_somatic_enrichment_end_to_end(reference_dir, tmp_path):
+    """Enrichment mode: manifest bins + CBS + somatic caller."""
+    # tumor with a clear gain over a targeted region set; het sites carry
+    # MAF 0.25 in the CN4 (3+1) region, 0.5 in diploid territory
+    plan = {"chr1": [(80_000, 200_000, 4)]}
+    maf_plan = {"chr1": [(80_000, 200_000, 0.25)]}
+    bam = tmp_path / "t.bam"
+    snv_vcf = tmp_path / "normal.vcf"
+    make_somatic_bam(bam, snv_vcf, plan, maf_plan)
+    # targets tile both chromosomes every 2kb (1kb targets)
+    lines = []
+    for chrom in ("chr1", "chr2"):
+        for s in range(10_000, 290_000, 2000):
+            lines.append(f"{chrom}\t{s}\t{s + 1000}")
+    manifest = tmp_path / "targets.bed"
+    manifest.write_text("\n".join(lines) + "\n")
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    tumor = runner.Sample("tumor", str(bam), normal_vcf=str(snv_vcf))
+    out_vcf = runner.somatic_wgs(ctx, tumor, manifest_path=str(manifest))
+    assert out_vcf.exists()
+    calls = ec.load_cnv_calls(out_vcf)
+    gains = [c for cl in calls.values() for c in cl if c.cn > 2]
+    assert any(c.chrom == "chr1" and c.start < 200_000 and c.end > 80_000
+               for c in gains)
