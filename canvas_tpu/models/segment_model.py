@@ -60,6 +60,8 @@ class Segment:
     bin_ends: np.ndarray | None = None
     baf_frequencies: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.float32))
+    baf_positions: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, np.int64))
     baf_total_coverage: np.ndarray = field(
         default_factory=lambda: np.zeros(0, np.int32))
     baf_count_a: np.ndarray = field(
@@ -148,6 +150,8 @@ class Segment:
             self.start_ci = other.start_ci
             self.begin = other.begin
             self.bin_counts = np.concatenate([other.bin_counts, self.bin_counts])
+            self.baf_positions = np.concatenate(
+                [other.baf_positions, self.baf_positions])
             self.baf_frequencies = np.concatenate(
                 [other.baf_frequencies, self.baf_frequencies])
             self.baf_total_coverage = np.concatenate(
@@ -158,6 +162,8 @@ class Segment:
             self.end_ci = other.end_ci
             self.end = other.end
             self.bin_counts = np.concatenate([self.bin_counts, other.bin_counts])
+            self.baf_positions = np.concatenate(
+                [self.baf_positions, other.baf_positions])
             self.baf_frequencies = np.concatenate(
                 [self.baf_frequencies, other.baf_frequencies])
             self.baf_total_coverage = np.concatenate(

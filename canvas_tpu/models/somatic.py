@@ -113,14 +113,17 @@ def get_usable_segments(
     segments: list[Segment],
     is_enrichment: bool = False,
     min_vf: int = MIN_VF_FOR_INFORMATIVE,
+    overall_median: float | None = None,
 ) -> list[SegmentInfo]:
-    """GetUsableSegmentsForModeling (:1426-1500)."""
-    if is_enrichment:
-        counts = np.array([stats.median(s.bin_counts) for s in segments],
-                          dtype=np.float32)
-    else:
-        counts = np.concatenate([s.bin_counts for s in segments])
-    overall_median = stats.quartiles(counts)[1]
+    """GetUsableSegmentsForModeling (:1426-1500).  overall_median lets the
+    windowed pass reuse the full-segment median (:1436-1458)."""
+    if overall_median is None:
+        if is_enrichment:
+            counts = np.array([stats.median(s.bin_counts) for s in segments],
+                              dtype=np.float32)
+        else:
+            counts = np.concatenate([s.bin_counts for s in segments])
+        overall_median = stats.quartiles(counts)[1]
     out = []
     for seg in segments:
         if seg.length < 5000:
@@ -152,6 +155,98 @@ def usable_segments_with_relaxation(segments: list[Segment],
         if valid_maf > min(20, len(segments)) or min_vf <= 5:
             return usable, min_vf
         min_vf = max(5, min_vf - 15)
+
+
+def split_segment_windows(seg: Segment,
+                          window_width: int = 500_000) -> list[Segment]:
+    """oneSegmentToWindows (:2300-2356): chop a segment into ~window_width
+    pieces; bins go to the window whose end exceeds their start, alleles
+    split by position."""
+    if seg.bin_starts is not None:
+        bin_starts = np.asarray(seg.bin_starts)
+    else:  # no recorded starts: spread bins evenly across the span
+        bin_starts = seg.begin + np.arange(len(seg.bin_counts)) \
+            * max(1, (seg.end - seg.begin) // max(1, len(seg.bin_counts)))
+    positions = seg.baf_positions if len(seg.baf_positions) \
+        else np.zeros(0, np.int64)
+    windows = []
+    for lo in range(seg.begin, seg.end, window_width):
+        hi = min(lo + window_width, seg.end)
+        bsel = (bin_starts >= lo) & (bin_starts < hi)
+        asel = (positions >= lo) & (positions < hi)
+        windows.append(Segment(
+            seg.chrom, lo, hi, seg.bin_counts[bsel],
+            bin_starts=bin_starts[bsel],
+            baf_positions=positions[asel],
+            baf_frequencies=seg.baf_frequencies[asel]
+            if len(seg.baf_frequencies) else seg.baf_frequencies,
+        ))
+    return windows
+
+
+def windowed_usable_segments(
+    infos: list[SegmentInfo],
+    overall_median: float,
+    is_enrichment: bool = False,
+    min_vf: int = MIN_VF_FOR_INFORMATIVE,
+    window_width: int = 500_000,
+) -> list[tuple[SegmentInfo, SegmentInfo]]:
+    """segmentsToSegmentWindows (:2283-2297): split usable segments into
+    ~500kb windows and run them through the usable-segment filter with the
+    full-segment overall median; returns (window info, source info) pairs."""
+    out = []
+    for src in infos:
+        wins = split_segment_windows(src.segment, window_width)
+        wininfos = get_usable_segments(wins, is_enrichment, min_vf,
+                                       overall_median=overall_median)
+        out.extend((w, src) for w in wininfos)
+    return out
+
+
+def is_sample_clearly_not_all_reference_ploidy(
+    infos: list[SegmentInfo],
+    windowed: list[tuple[SegmentInfo, SegmentInfo]],
+    median_coverage_level: float,
+    median_maf: float,
+    ref_ploidy_fn=None,
+) -> bool:
+    """IsSampleClearlyNotAllReferencePloidy (:2129-2211): if >=50 Mb of
+    usable weight deviates strongly from the overall medians (z-scores
+    normalized by within-segment CVs), allow purity down to 5%."""
+    cvg_cv, maf_cv = [], []
+    for win, src in windowed:
+        ref_p = ref_ploidy_fn(win.segment) if ref_ploidy_fn else None
+        if ref_p == 0 or win.segment.length < 400_000:
+            continue
+        if src.coverage != 0:
+            cvg_cv.append(abs(win.coverage - src.coverage) / src.coverage)
+        if src.maf != 0:
+            maf_cv.append(abs(win.maf - src.maf) / src.maf)
+    if not cvg_cv or not maf_cv:
+        return False
+    coverage_cv = stats.median(np.array(cvg_cv, dtype=np.float64))
+    maf_cv_m = stats.median(np.array(maf_cv, dtype=np.float64))
+
+    def ieee_div(num, den):
+        """C# double semantics: x/0 = inf, 0/0 = NaN (never > cutoff)."""
+        if den != 0:
+            return num / den
+        return float("inf") if num > 0 else float("nan")
+
+    bases_outside = 0.0
+    for info in infos:
+        ref_p = ref_ploidy_fn(info.segment) if ref_ploidy_fn else None
+        if ref_p == 0 or info.segment.length < 400_000:
+            continue
+        expected = median_coverage_level * (2.0 if ref_p is None
+                                            else float(ref_p)) / 2.0
+        cvg_z = ieee_div(ieee_div(abs(info.coverage - expected), expected),
+                         coverage_cv)
+        maf_z = ieee_div(ieee_div(abs(info.maf - median_maf), median_maf),
+                         maf_cv_m) if ref_p == 2 else 0.0
+        if cvg_z > 12 or maf_z > 12 or (cvg_z > 5 and maf_z > 5):
+            bases_outside += info.weight
+    return bases_outside >= 50_000_000
 
 
 def initialize_ploidies(mean_coverage: float,
@@ -759,10 +854,12 @@ def call_somatic(
     ref_ploidy_fn=None,
     is_enrichment: bool = False,
     user_purity: float | None = None,
+    clustering_mode: str = "MeanShift",
 ) -> tuple[PurityModel, list[str]]:
     """Core somatic calling (CallCNVUsingSNVFrequency without file I/O).
 
-    Assigns copy numbers in place; returns (model, extra VCF headers)."""
+    clustering_mode is MeanShift (the reference default, Program.cs:46-47)
+    or Density; assigns copy numbers in place; returns (model, headers)."""
     infos, _ = usable_segments_with_relaxation(segments, is_enrichment)
     if len(infos) < 3:
         raise RuntimeError(
@@ -776,35 +873,88 @@ def call_somatic(
         f = info.segment.baf_frequencies
         maf_list.append(1 - np.maximum(f, 1 - f))
     cov_all = np.concatenate(cov_list) if cov_list else np.zeros(1)
+    maf_all = np.concatenate(maf_list) if maf_list else np.zeros(0)
     q = stats.quartiles(cov_all.astype(np.float32))
     median_coverage_level = int(np.rint(q[1]))
+    median_maf = float(stats.median(maf_all.astype(np.float64))) \
+        if len(maf_all) else 0.0
     cw = coverage_weighting_factor(median_coverage_level, evenness_score)
 
     mean_coverage = float(np.mean(cov_all, dtype=np.float64))
+
+    # ~500kb windows of the usable segments feed MeanShift clustering and
+    # the all-reference-ploidy check (:1681, :2283-2297)
+    windowed = windowed_usable_segments(infos, q[1], is_enrichment)
 
     # segment clustering BEFORE the grid (SomaticCaller.cs:1690-1866): the
     # cluster structure feeds ModelDeviation for every candidate model
     cluster_ids = None
     n_clusters = 0
     cms = None
+    centroids_cov = np.zeros(0)
+    centroids_maf = np.zeros(0)
+    centroids_size = np.zeros(0, dtype=np.int64)
     valid_maf = sum(1 for i in infos if i.maf >= 0)
-    if not is_enrichment and len(infos) > 100 and valid_maf > 100:
+    # gate parses as (!IsEnrichment && MeanShift) ? windows>100 :
+    # (usable>100 && validMAF>100)  (:1691-1693) — enrichment samples
+    # cluster too when they have enough usable segments
+    run_clustering = (len(windowed) > 100
+                      if (not is_enrichment and clustering_mode == "MeanShift")
+                      else len(infos) > 100 and valid_maf > 100)
+    if run_clustering:
         from canvas_tpu.ops import clustering as cl
 
         seg_cov = np.array([i.coverage for i in infos])
         seg_maf = np.array([i.maf for i in infos])
         seg_w = np.array([i.weight for i in infos])
-        knn, knn_cut = cl.knearest_neighbour_cutoff(seg_cov, seg_maf, cw)
-        try:
-            res = cl.density_cluster(seg_cov, seg_maf, seg_w, cw, knn_cut,
-                                     centroid_cutoff=0.03)
-            if res.n_clusters > 0:
-                cluster_ids, n_clusters = res.cluster_ids, res.n_clusters
-        except ValueError:
-            pass
+        if clustering_mode == "MeanShift":
+            # windows with valid MAF, scaled (cov/400, maf) (:1722-1768)
+            from canvas_tpu.ops import meanshift as ms
+
+            scale = 400.0
+            win_pts = np.array([[w.coverage / scale, w.maf]
+                                for w, _ in windowed if w.maf >= 0])
+            if len(win_pts):
+                res = ms.mean_shift(win_pts)
+                good, centroids_cov, centroids_maf, centroids_size = \
+                    ms.pruned_centers(res, res.labels, scale)
+                relabel = {int(g): i + 1 for i, g in enumerate(good)}
+                seg_labels = res.decide(
+                    np.stack([seg_cov / scale, seg_maf], axis=1))
+                cluster_ids = np.array(
+                    [relabel.get(int(l), cl.OUTLIER_CLUSTER_FLAG)
+                     for l in seg_labels])
+                n_clusters = len(good)
+        else:  # Density (GaussianMixture shares the density path's output)
+            knn, knn_cut = cl.knearest_neighbour_cutoff(seg_cov, seg_maf, cw)
+            try:
+                res = cl.density_cluster(seg_cov, seg_maf, seg_w, cw, knn_cut,
+                                         centroid_cutoff=0.03)
+                if res.n_clusters > 0:
+                    cluster_ids, n_clusters = res.cluster_ids, res.n_clusters
+            except ValueError:
+                pass
+        if n_clusters == 0:
+            cluster_ids = None
+
+    # purity search limits (:1885-1894): samples with >=50Mb clearly
+    # non-reference get the 5% purity floor; cluster minor-allele coverage
+    # bounds the low end of the purity grid
+    not_all_ref = is_sample_clearly_not_all_reference_ploidy(
+        infos, windowed, median_coverage_level, median_maf, ref_ploidy_fn)
+    min_purity_hard_limit = 5 if not_all_ref else 20
+    min_minor_allele_coverage = None
+    if len(centroids_cov):
+        min_windows = max(1, int(len(windowed) * 0.01))
+        eligible = centroids_size > min_windows
+        if eligible.any():
+            min_minor_allele_coverage = float(
+                np.min(centroids_cov[eligible] * centroids_maf[eligible]))
 
     model, _ = grid_search(
         infos, mean_coverage, genome_length, cw, median_coverage_level,
+        min_purity_hard_limit=min_purity_hard_limit,
+        min_minor_allele_coverage=min_minor_allele_coverage,
         user_purity=user_purity, cluster_ids=cluster_ids,
         n_clusters=n_clusters)
 

@@ -88,6 +88,7 @@ def add_alleles(
             arr = np.asarray(alleles, dtype=np.int64)
             ref, alt = arr[:, 1], arr[:, 2]
             total = ref + alt
+            seg.baf_positions = arr[:, 0].copy()
             seg.baf_frequencies = (alt / np.maximum(total, 1)).astype(np.float32)
             seg.baf_total_coverage = total.astype(np.int32)
             seg.baf_count_a = np.maximum(ref, alt).astype(np.int32)
