@@ -235,6 +235,78 @@ def merge_segments(
     return out
 
 
+def merge_segments_using_excluded_intervals(
+    segments: list[Segment],
+    minimum_call_size: int,
+    excluded: dict[str, list[tuple[int, int]]] | None,
+) -> list[Segment]:
+    """CanvasSegment.MergeSegmentsUsingExcludedIntervals (:863-952), the
+    somatic-WGS merge: neighbor search breaks at chromosome changes and at
+    excluded (filter-bed) intervals instead of a bp span; assimilation
+    requires a strictly positive neighbor q-score.  Reference quirks kept:
+    the look-back loop never considers index 0, and same-CN merging also
+    refuses to cross an excluded interval."""
+    from canvas_tpu.io.bed import is_forbidden_interval
+
+    if not segments:
+        return []
+    merged: list[Segment] = []
+    i = 0
+    while i < len(segments):
+        if segments[i].length >= minimum_call_size:
+            merged.append(segments[i])
+            i += 1
+            continue
+        prev_idx, prev_q = -1, 0.0
+        for check in range(i - 1, 0, -1):
+            if segments[check].chrom != segments[i].chrom:
+                break
+            if segments[check].length < minimum_call_size:
+                continue
+            if is_forbidden_interval(segments[check].chrom,
+                                     segments[check].end,
+                                     segments[i].begin, excluded):
+                break
+            prev_idx, prev_q = check, segments[check].qscore
+            break
+        next_idx, next_q = -1, 0.0
+        for check in range(i + 1, len(segments)):
+            if segments[check].chrom != segments[i].chrom:
+                break
+            if segments[check].length < minimum_call_size:
+                continue
+            if is_forbidden_interval(segments[check].chrom, segments[i].end,
+                                     segments[check].begin, excluded):
+                break
+            next_idx, next_q = check, segments[check].qscore
+            break
+        if prev_q > 0 and prev_q >= next_q:
+            segments[prev_idx].merge_in(segments[i])
+            i += 1
+            continue
+        if next_q > 0:
+            for t in range(i, next_idx):
+                segments[next_idx].merge_in(segments[t])
+            i = next_idx
+            continue
+        merged.append(segments[i])
+        i += 1
+
+    segments = merged
+    out = [segments[0]]
+    last = segments[0]
+    for s in segments[1:]:
+        if (last.copy_number == s.copy_number and last.chrom == s.chrom
+                and not is_forbidden_interval(last.chrom, last.end, s.begin,
+                                              excluded)
+                and last.is_heterogeneous == s.is_heterogeneous):
+            last.merge_in(s)
+        else:
+            out.append(s)
+            last = s
+    return out
+
+
 def set_filters(
     segments: list[Segment], quality_threshold: int,
     size_cutoff: int = SEGMENT_SIZE_CUTOFF) -> None:

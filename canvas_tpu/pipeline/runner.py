@@ -36,7 +36,8 @@ from canvas_tpu.models import pedigree as pedigree_caller
 from canvas_tpu.models import somatic as somatic_caller
 from canvas_tpu.models import qscore
 from canvas_tpu.models.segment_model import (
-    SEGMENT_SIZE_CUTOFF, merge_segments, set_filters)
+    SEGMENT_SIZE_CUTOFF, merge_segments,
+    merge_segments_using_excluded_intervals, set_filters)
 from canvas_tpu.ops import binning, hmm, metrics, normalize, ratio, wavelets
 from canvas_tpu.ops import segments as segops
 from canvas_tpu.pipeline import profiling, segments_io
@@ -96,6 +97,19 @@ class WorkflowContext:
         gs = Path(self.reference_folder) / "GenomeSize.xml"
         contigs = (ContigTable.from_genome_size_xml(gs) if gs.exists() else None)
         self.contigs, self.tracks = load_reference_tracks(kmer, contigs)
+        self.excluded_intervals = None
+        if self.filter_bed:
+            from canvas_tpu.io.bed import load_bed_intervals
+
+            # filter-bed positions stop being 'possible' alignment starts
+            # (CanvasBin.ExcludeTagsOverlappingFilterFile, CanvasBin.cs:668-691)
+            self.excluded_intervals = load_bed_intervals(self.filter_bed)
+            for chrom, ivals in self.excluded_intervals.items():
+                if chrom not in self.tracks:
+                    continue
+                possible = self.tracks[chrom]["possible"]
+                for s, e in ivals:
+                    possible[s:min(e, len(possible))] = False
         self.canonical = [n for n in self.contigs.names
                           if is_canonical(n) and n in self.tracks]
         self.checkpointer = Checkpointer(Path(self.output_dir) / "Checkpoints",
@@ -469,9 +483,14 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
         headers.append(f"##LocalSDmetric={local_sd:.2f}")
     qscore.assign_quality_scores(segs, "Logistic", ctx.config.qscore)
     # enrichment merges with a 1 bp span so calls never bridge the gaps
-    # between off-adjacent targets (SomaticCaller.cs:455-456)
-    merged = merge_segments(segs, somatic_caller.MINIMUM_CALL_SIZE,
-                            maximum_merge_span=1 if is_enrichment else 10000)
+    # between off-adjacent targets; WGS merges across everything except
+    # filter-bed intervals (SomaticCaller.cs:455-456)
+    if is_enrichment:
+        merged = merge_segments(segs, somatic_caller.MINIMUM_CALL_SIZE,
+                                maximum_merge_span=1)
+    else:
+        merged = merge_segments_using_excluded_intervals(
+            segs, somatic_caller.MINIMUM_CALL_SIZE, ctx.excluded_intervals)
     qscore.assign_quality_scores(merged, "Logistic", ctx.config.qscore)
     set_filters(merged, ctx.config.quality_filter_threshold,
                 SEGMENT_SIZE_CUTOFF)

@@ -94,3 +94,64 @@ def test_partitioned_roundtrip(tmp_path):
     back = seg.read_partitioned(p)
     np.testing.assert_array_equal(back["chr1"][0], [0, 100])
     np.testing.assert_array_equal(back["chr1"][3], [0, 0])
+
+
+def test_merge_excluded_intervals_blocks_bridging():
+    from canvas_tpu.models.segment_model import (
+        Segment, merge_segments_using_excluded_intervals)
+
+    def seg(begin, end, cn, q):
+        s = Segment("chr1", begin, end,
+                    np.full(max(1, (end - begin) // 1000), 10.0, np.float32))
+        s.copy_number = cn
+        s.qscore = q
+        return s
+
+    # same-CN neighbors merge freely without exclusions...
+    a = [seg(0, 50_000, 2, 30), seg(50_000, 100_000, 2, 30)]
+    out = merge_segments_using_excluded_intervals(a, 10, None)
+    assert len(out) == 1 and out[0].end == 100_000
+
+    # ...but an excluded interval between them blocks the merge; note the
+    # reference tests interval ENDPOINTS against [end, begin]
+    # (CanvasSegment.cs:759-760), so an endpoint must fall in the junction
+    b = [seg(0, 50_000, 2, 30), seg(50_000, 100_000, 2, 30)]
+    excl = {"chr1": [(50_000, 51_000)]}
+    out = merge_segments_using_excluded_intervals(b, 10, excl)
+    assert len(out) == 2
+
+    # short segment assimilates into the higher-q neighbor; the look-back
+    # never reaches index 0 (the reference's `checkIndex > 0` quirk,
+    # CanvasSegment.cs:882), so the left neighbor here is index 1
+    c = [seg(0, 30_000, 5, 40), seg(30_000, 50_000, 2, 40),
+         seg(50_000, 50_005, 4, 1), seg(50_005, 100_000, 3, 10)]
+    out = merge_segments_using_excluded_intervals(c, 10_000, None)
+    assert [s.copy_number for s in out] == [5, 2, 3]
+    assert out[1].end == 50_005  # swallowed by the left (q 40 >= 10)
+
+    # ...unless the excluded interval sits between it and the left neighbor
+    d = [seg(0, 30_000, 5, 40), seg(30_000, 50_000, 2, 40),
+         seg(50_000, 50_005, 4, 1), seg(50_005, 100_000, 3, 10)]
+    out = merge_segments_using_excluded_intervals(d, 10_000, excl)
+    assert [s.copy_number for s in out] == [5, 2, 3]
+    assert out[2].begin == 50_000  # swallowed by the right instead
+
+    # index-0 quirk itself: a short segment at index 1 can only merge right
+    e = [seg(0, 50_000, 2, 40), seg(50_000, 50_005, 4, 1),
+         seg(50_005, 100_000, 3, 10)]
+    out = merge_segments_using_excluded_intervals(e, 10_000, None)
+    assert [s.copy_number for s in out] == [2, 3]
+    assert out[1].begin == 50_000
+
+
+def test_filter_bed_masks_possible(tmp_path):
+    from canvas_tpu.io.bed import load_bed_intervals, is_forbidden_interval
+
+    bed = tmp_path / "f.bed"
+    bed.write_text("chr1\t100\t200\nchr1\t500\t600\nchr2\t0\t50\n")
+    ivals = load_bed_intervals(bed)
+    assert ivals == {"chr1": [(100, 200), (500, 600)], "chr2": [(0, 50)]}
+    assert is_forbidden_interval("chr1", 150, 300, ivals)      # start inside
+    assert is_forbidden_interval("chr1", 0, 100, ivals)        # endpoint touch
+    assert not is_forbidden_interval("chr1", 201, 499, ivals)
+    assert not is_forbidden_interval("chr3", 0, 1000, ivals)
