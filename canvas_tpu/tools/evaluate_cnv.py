@@ -135,18 +135,30 @@ def load_cnv_calls(
     return out
 
 
+# the reference's -s/--splitBySize bins (CNVEvaluator.cs:57-64)
+SIZE_SPLITS = [(0, 4999), (5000, 9999), (10000, 99999),
+               (100000, 499999), (500000, 2 ** 31 - 1)]
+
+
 @dataclass
 class BaseCounter:
     min_size: int = 0
     max_size: int = 2 ** 31 - 1
+    has_roi: bool = False
     base_count: np.ndarray = field(
         default_factory=lambda: np.zeros((MAX_CN + 1, MAX_CN + 1, 3), np.int64))
     no_calls: np.ndarray = field(
         default_factory=lambda: np.zeros((MAX_CN + 1, 3), np.int64))
+    roi_base_count: np.ndarray | None = None
     total_variants: int = 0
     total_variant_bases: int = 0
     mean_accuracy: float = 0.0
     median_accuracy: float = float("nan")
+
+    def __post_init__(self):
+        if self.has_roi and self.roi_base_count is None:
+            self.roi_base_count = np.zeros(
+                (MAX_CN + 1, MAX_CN + 1, 3), np.int64)
 
 
 @dataclass
@@ -160,10 +172,17 @@ class Metrics:
     precision: float
     direction_precision: float
     gain_recall: float
+    gain_direction_recall: float
     gain_precision: float
+    gain_direction_precision: float
     loss_recall: float
+    loss_direction_recall: float
     loss_precision: float
+    loss_direction_precision: float
     total_bases: int
+    roi_bases: int = 0
+    roi_accuracy: float = float("nan")
+    roi_direction_accuracy: float = float("nan")
 
 
 def count_bases(
@@ -173,9 +192,19 @@ def count_bases(
     exclude: dict[str, list[tuple[int, int]]] | None = None,
     passing_only: bool = True,
     skip_diploid: bool = False,
+    roi: dict[str, list[tuple[int, int]]] | None = None,
+    mappable: dict[str, np.ndarray] | None = None,
 ) -> None:
-    """CalculateMetrics base-count core (CNVEvaluator.cs:115-334)."""
+    """CalculateMetrics base-count core (CNVEvaluator.cs:115-334).
+
+    roi: regions-of-interest intervals whose overlap feeds the separate
+    ROI confusion array.  mappable: per-chromosome bool arrays (uppercase
+    kmer.fa positions); truth variants with >=80% unmappable bases are
+    skipped (CNVEvaluator.cs:131-166)."""
     exclude = exclude or {}
+    if roi and counter.roi_base_count is None:
+        counter.roi_base_count = np.zeros((MAX_CN + 1, MAX_CN + 1, 3),
+                                          np.int64)
     for calls_chrom in calls.values():
         for call in calls_chrom:
             if not (call.is_alt_variant
@@ -190,6 +219,12 @@ def count_bases(
         for interval in intervals:
             if not (counter.min_size <= interval.length <= counter.max_size):
                 continue
+            if (mappable is not None and interval.chromosome in mappable
+                    and interval.cn != interval.reference_cn):
+                m = mappable[interval.chromosome]
+                unmapped = int(np.sum(~m[interval.start:interval.end]))
+                if unmapped / max(1, interval.length) >= 0.8:
+                    continue
             chromosome = interval.chromosome
             if chromosome not in calls:
                 chromosome = chromosome.replace("chr", "")
@@ -238,6 +273,16 @@ def count_bases(
                 else:
                     interval.bases_called_incorrectly += overlap
                 interval.bases_excluded += call_excluded
+                # ROI overlap uses the raw call/truth overlap window, not
+                # the exclusion-reduced count (CNVEvaluator.cs:295-309)
+                if roi and call.chrom in roi \
+                        and (call.pass_filter or not passing_only):
+                    for r_start, r_end in roi[call.chrom]:
+                        rs = max(r_start, o_start)
+                        re_ = min(r_end, o_end)
+                        if rs < re_:
+                            counter.roi_base_count[known_cn, cn, ref_ploidy] \
+                                += re_ - rs
 
             non_overlap = interval.length - total_overlap - exclude_bases
             if interval.reference_cn is None:
@@ -316,6 +361,22 @@ def calculate_metrics(counter: BaseCounter, max_ploidy: int = 2) -> Metrics:
         if (is_gain + is_loss) else float("nan")
     f1 = (2 * frac_prec * frac_rec / (frac_prec + frac_rec)
           if (frac_prec + frac_rec) else float("nan"))
+
+    roi_bases = roi_ok = roi_dir = 0
+    if counter.roi_base_count is not None:
+        rc = counter.roi_base_count
+        for ploidy in range(max_ploidy + 1):
+            for t in range(MAX_CN + 1):
+                for c in range(MAX_CN + 1):
+                    b = int(rc[t, c, ploidy])
+                    roi_bases += b
+                    if t == c:
+                        roi_ok += b
+                    if (t < ploidy and c < ploidy) \
+                            or (t == ploidy and c == ploidy) \
+                            or (t > ploidy and c > ploidy):
+                        roi_dir += b
+
     return Metrics(
         accuracy=pct(total_right, total),
         direction_accuracy=pct(total_right_dir, total),
@@ -325,11 +386,33 @@ def calculate_metrics(counter: BaseCounter, max_ploidy: int = 2) -> Metrics:
         precision=frac_prec * 100,
         direction_precision=pct(gain_dir + loss_dir, call_gain + call_loss),
         gain_recall=pct(gain_ok, is_gain),
+        gain_direction_recall=pct(gain_dir, is_gain),
         gain_precision=pct(gain_ok, call_gain),
+        gain_direction_precision=pct(gain_dir, call_gain),
         loss_recall=pct(loss_ok, is_loss),
+        loss_direction_recall=pct(loss_dir, is_loss),
         loss_precision=pct(loss_ok, call_loss),
+        loss_direction_precision=pct(loss_dir, call_loss),
         total_bases=total,
+        roi_bases=roi_bases,
+        roi_accuracy=pct(roi_ok, roi_bases),
+        roi_direction_accuracy=pct(roi_dir, roi_bases),
     )
+
+
+def load_mappability(kmer_fa: str | Path,
+                     chromosomes) -> dict[str, np.ndarray]:
+    """Per-chromosome bool arrays: True where the kmer.fa base is uppercase
+    (unique 35-mer start; CNVEvaluator.cs:70-85)."""
+    from canvas_tpu.genome.reference import read_fasta
+
+    seqs = read_fasta(kmer_fa)   # contig -> uint8 byte array
+    out = {}
+    for chrom in chromosomes:
+        if chrom in seqs:
+            arr = seqs[chrom]
+            out[chrom] = (arr >= ord("A")) & (arr <= ord("Z"))
+    return out
 
 
 def evaluate(
@@ -340,7 +423,12 @@ def evaluate(
     dq_threshold: float | None = None,
     ploidy_fn=None,
     sample_index: int = 0,
-) -> Metrics:
+    min_size: int = 0,
+    max_size: int = 2 ** 31 - 1,
+    roi_path: str | Path | None = None,
+    kmer_fa: str | Path | None = None,
+    return_counter: bool = False,
+):
     """End-to-end evaluation (CNVChecker.Evaluate equivalent).
 
     ploidy_fn(chrom, start, end) -> reference ploidy; when given it also
@@ -357,13 +445,21 @@ def evaluate(
                     iv.reference_cn = int(
                         ploidy_fn(iv.chromosome, iv.start, iv.end))
     exclude = load_exclude_bed(exclude_path) if exclude_path else None
-    counter = BaseCounter()
-    count_bases(truth, calls, counter, exclude, passing_only)
-    return calculate_metrics(counter)
+    roi = load_exclude_bed(roi_path) if roi_path else None
+    mappable = load_mappability(kmer_fa, truth.keys()) if kmer_fa else None
+    counter = BaseCounter(min_size, max_size, has_roi=roi is not None)
+    count_bases(truth, calls, counter, exclude, passing_only,
+                roi=roi, mappable=mappable)
+    metrics = calculate_metrics(counter)
+    if return_counter:
+        return metrics, counter
+    return metrics
 
 
 def format_report(metrics: Metrics, counter: BaseCounter | None = None,
                   passing_only: bool = True) -> str:
+    """WriteResults line set (CNVEvaluator.cs:393-422), including the
+    reference's LossDirectionRecall-prints-LossRecall quirk (:408)."""
     lines = [
         "Results for PASSing variants" if passing_only
         else "Results for all variants",
@@ -375,10 +471,25 @@ def format_report(metrics: Metrics, counter: BaseCounter | None = None,
         f"Precision\t{metrics.precision:.4f}",
         f"DirectionPrecision\t{metrics.direction_precision:.4f}",
         f"GainRecall\t{metrics.gain_recall:.4f}",
+        f"GainDirectionRecall\t{metrics.gain_direction_recall:.4f}",
         f"GainPrecision\t{metrics.gain_precision:.4f}",
+        f"GainDirectionPrecision\t{metrics.gain_direction_precision:.4f}",
         f"LossRecall\t{metrics.loss_recall:.4f}",
+        f"LossDirectionRecall\t{metrics.loss_recall:.4f}",
         f"LossPrecision\t{metrics.loss_precision:.4f}",
+        f"LossDirectionPrecision\t{metrics.loss_direction_precision:.4f}",
     ]
+    if counter is not None:
+        lines.append(f"MeanEventAccuracy\t{100 * counter.mean_accuracy:.4f}")
+        lines.append(
+            f"MedianEventAccuracy\t{100 * counter.median_accuracy:.4f}")
+        lines.append(f"VariantEventsCalled\t{counter.total_variants}")
+        lines.append(f"VariantBasesCalled\t{counter.total_variant_bases}")
+        if counter.roi_base_count is not None and metrics.roi_bases > 0:
+            lines.append(f"ROIAccuracy\t{metrics.roi_accuracy:.4f}")
+            lines.append(
+                f"ROIDirectionAccuracy\t{metrics.roi_direction_accuracy:.4f}")
+    lines.append("")
     return "\n".join(lines)
 
 
@@ -396,26 +507,51 @@ def main(argv=None) -> int:
     p.add_argument("output_dir", nargs="?", default=None)
     p.add_argument("-q", "--dq-threshold", type=float, default=None,
                    help="only evaluate calls with DQ >= threshold (de novo)")
+    p.add_argument("-s", "--split-by-size", action="store_true",
+                   help="also report per size bin (0-5kb ... 500kb+)")
+    p.add_argument("--roi-bed", default=None,
+                   help="regions of interest for ROI accuracy metrics")
+    p.add_argument("--kmer-fa", default=None,
+                   help="kmer.fa for skipping >=80%% unmappable truth CNVs")
     p.add_argument("--sample-index", type=int, default=0)
     p.add_argument("--ploidy", type=int, default=None,
                    help="uniform reference ploidy override")
     args = p.parse_args(argv)
     ploidy_fn = (lambda c, s, e: args.ploidy) if args.ploidy else None
-    report_parts = []
-    for passing in (True, False):
-        m = evaluate(args.truth, args.cnv_vcf, args.excluded,
-                     passing_only=passing, dq_threshold=args.dq_threshold,
-                     ploidy_fn=ploidy_fn, sample_index=args.sample_index)
-        report_parts.append(format_report(m, passing_only=passing))
-    report = "\n".join(report_parts) + "\n"
+
+    size_bins = [(0, 2 ** 31 - 1)]
+    if args.split_by_size:
+        size_bins += SIZE_SPLITS
+    out = None
     if args.output_dir:
         out = _Path(args.output_dir)
         out.mkdir(parents=True, exist_ok=True)
+    for min_size, max_size in size_bins:
+        report_parts = []
+        for passing in (True, False):
+            m, counter = evaluate(
+                args.truth, args.cnv_vcf, args.excluded,
+                passing_only=passing, dq_threshold=args.dq_threshold,
+                ploidy_fn=ploidy_fn, sample_index=args.sample_index,
+                min_size=min_size, max_size=max_size,
+                roi_path=args.roi_bed, kmer_fa=args.kmer_fa,
+                return_counter=True)
+            report_parts.append(
+                format_report(m, counter, passing_only=passing))
+        report = "\n".join(report_parts) + "\n"
         name = "EvaluateCNVResults"
         if args.dq_threshold is not None:
             name += "_denovo"
-        (out / f"{name}.txt").write_text(report)
-    sys.stdout.write(report)
+        if min_size != 0 or max_size != 2 ** 31 - 1:
+            name += f"_{round(min_size / 1000)}kb"
+            name += "+" if max_size == 2 ** 31 - 1 \
+                else f"_{round(max_size / 1000)}kb"
+        if out is not None:
+            (out / f"{name}.txt").write_text(report)
+        if min_size == 0 and max_size == 2 ** 31 - 1:
+            sys.stdout.write(report)
+        else:
+            sys.stdout.write(f"== {name} ==\n" + report)
     return 0
 
 

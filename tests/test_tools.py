@@ -138,3 +138,79 @@ def test_revcomp_canonicalization(tmp_path):
     masks = fk.flag_unique_kmers(fa, tmp_path / "k.fa")
     # kmers fully inside fwd have their RC counterpart -> not unique
     assert not masks["c"][0:3].any()
+
+
+def _write_calls_vcf(path, records):
+    path.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+    ] + records) + "\n")
+
+
+def test_evaluate_size_split_and_roi(tmp_path):
+    truth = tmp_path / "truth.bed"
+    # one small (2kb) and one large (200kb) loss
+    truth.write_text("chr1\t1000\t3000\t1\nchr1\t100000\t300000\t1\n")
+    vcf = tmp_path / "calls.vcf"
+    _write_calls_vcf(vcf, [
+        "chr1\t1000\tCanvas:LOSS:chr1:1001-3000\tN\t<CN0>\t30\tPASS\t"
+        "SVTYPE=CNV;END=3000\tGT:CN:QS:FT\t0/1:1:30:PASS",
+        # the large truth interval is MISSED (called REF)
+        "chr1\t3001\tCanvas:REF:chr1:3001-300000\tN\t.\t30\tPASS\t"
+        "END=300000\tGT:CN:QS:FT\t./.:2:30:PASS",
+    ])
+    # small bin: perfect recall
+    m_small = ec.evaluate(truth, vcf, min_size=0, max_size=4999)
+    assert m_small.recall == pytest.approx(100.0)
+    # large bin: zero recall
+    m_large = ec.evaluate(truth, vcf, min_size=100_000, max_size=499_999)
+    assert m_large.recall == pytest.approx(0.0)
+
+    # ROI covering only the called loss: ROI accuracy 100
+    roi = tmp_path / "roi.bed"
+    roi.write_text("chr1\t1500\t2500\n")
+    m, counter = ec.evaluate(truth, vcf, roi_path=roi, return_counter=True)
+    assert m.roi_bases == 1000
+    assert m.roi_accuracy == pytest.approx(100.0)
+    rep = ec.format_report(m, counter)
+    assert "ROIAccuracy\t100.0000" in rep
+    assert "MeanEventAccuracy" in rep
+
+
+def test_evaluate_skips_unmappable_truth(tmp_path):
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t100\t300\t3\n")
+    vcf = tmp_path / "calls.vcf"
+    _write_calls_vcf(vcf, [
+        # variant truth is called REF -> recall 0 ... unless skipped
+        "chr1\t0\tCanvas:REF:chr1:1-1000\tN\t.\t30\tPASS\t"
+        "END=1000\tGT:CN:QS:FT\t./.:2:30:PASS",
+    ])
+    kmer = tmp_path / "kmer.fa"
+    # all-lowercase contig = fully unmappable
+    write_fasta(kmer, {"chr1": "acgt" * 250})
+    m = ec.evaluate(truth, vcf)
+    assert m.recall == pytest.approx(0.0)
+    m2 = ec.evaluate(truth, vcf, kmer_fa=kmer)
+    assert np.isnan(m2.recall)  # the only variant interval was skipped
+
+
+def test_evaluate_cnv_cli_split(tmp_path, capsys):
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t3000\t1\n")
+    vcf = tmp_path / "calls.vcf"
+    _write_calls_vcf(vcf, [
+        "chr1\t1000\tCanvas:LOSS:chr1:1001-3000\tN\t<CN0>\t30\tPASS\t"
+        "SVTYPE=CNV;END=3000\tGT:CN:QS:FT\t0/1:1:30:PASS",
+    ])
+    excluded = tmp_path / "empty.bed"
+    excluded.write_text("")
+    out = tmp_path / "eval"
+    assert ec.main([str(truth), str(vcf), str(excluded), str(out),
+                    "--split-by-size", "--ploidy", "2"]) == 0
+    files = sorted(p.name for p in out.iterdir())
+    assert "EvaluateCNVResults.txt" in files
+    assert "EvaluateCNVResults_0kb_5kb.txt" in files
+    assert "EvaluateCNVResults_500kb+.txt" in files
+    body = (out / "EvaluateCNVResults_0kb_5kb.txt").read_text()
+    assert "Recall\t100.0000" in body
