@@ -442,24 +442,29 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
     is_enrichment = manifest_path is not None
     manifest = Manifest.read(manifest_path) if is_enrichment else None
     ploidy = load_ploidy_vcf(tumor.ploidy_vcf) if tumor.ploidy_vcf else None
-    if is_enrichment:
-        t_bins = run_bin_predefined(ctx, tumor, manifest)
-        t_bins = smooth_ops.smooth(t_bins)
-    else:
-        t_bins, _ = run_bin(ctx, tumor)
-    t_clean, local_sd = run_clean(ctx, tumor, t_bins,
-                                  compute_local_sd=not is_enrichment)
+    prof = profiling.reset()
+    with prof.stage("CanvasBin"):
+        if is_enrichment:
+            t_bins = run_bin_predefined(ctx, tumor, manifest)
+            t_bins = smooth_ops.smooth(t_bins)
+        else:
+            t_bins, _ = run_bin(ctx, tumor)
+    with prof.stage("CanvasClean", bins=len(t_bins)):
+        t_clean, local_sd = run_clean(ctx, tumor, t_bins,
+                                      compute_local_sd=not is_enrichment)
     work = t_clean
     if normal is not None:
-        if is_enrichment:
-            n_bins = run_bin_predefined(ctx, normal, manifest)
-            n_bins = smooth_ops.smooth(n_bins)
-        else:
-            n_bins, _ = run_bin(ctx, normal)
-        n_clean, _ = run_clean(ctx, normal, n_bins)
-        ratios = ratio.lsnorm_ratios(t_clean, n_clean)
-        work = ratio.ratios_to_counts(ratios)
-    vf = run_snv(ctx, tumor, is_somatic=True)
+        with prof.stage("CanvasNormalize"):
+            if is_enrichment:
+                n_bins = run_bin_predefined(ctx, normal, manifest)
+                n_bins = smooth_ops.smooth(n_bins)
+            else:
+                n_bins, _ = run_bin(ctx, normal)
+            n_clean, _ = run_clean(ctx, normal, n_bins)
+            ratios = ratio.lsnorm_ratios(t_clean, n_clean)
+            work = ratio.ratios_to_counts(ratios)
+    with prof.stage("CanvasSNV"):
+        vf = run_snv(ctx, tumor, is_somatic=True)
     cov = coverage_by_contig(work)
     evenness = None
     if not is_enrichment:
@@ -468,17 +473,19 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
                 cov, ctx.config.evenness_score_window)
         except Exception:
             pass
-    parts = run_partition(ctx, {tumor.name: work},
-                          "CBS" if is_enrichment else "Wavelets",
-                          is_germline=False, ploidy=ploidy)
+    with prof.stage("CanvasPartition", bins=len(work)):
+        parts = run_partition(ctx, {tumor.name: work},
+                              "CBS" if is_enrichment else "Wavelets",
+                              is_germline=False, ploidy=ploidy)
     segs_by_contig = parts[tumor.name]
     attach_alleles(ctx, tumor, segs_by_contig, vf)
     segs = _flatten(segs_by_contig, ctx.contigs)
     genome_length = int(np.sum(ctx.contigs.lengths_array))
     ploidy_fn = ploidy.segment_ploidy_fn() if ploidy else None
-    model, headers = somatic_caller.call_somatic(
-        segs, genome_length, evenness_score=evenness, ref_ploidy_fn=ploidy_fn,
-        is_enrichment=is_enrichment)
+    with prof.stage("CanvasSomaticCaller", segments=len(segs)):
+        model, headers = somatic_caller.call_somatic(
+            segs, genome_length, evenness_score=evenness,
+            ref_ploidy_fn=ploidy_fn, is_enrichment=is_enrichment)
     if local_sd is not None:
         headers.append(f"##LocalSDmetric={local_sd:.2f}")
     qscore.assign_quality_scores(segs, "Logistic", ctx.config.qscore)
@@ -504,6 +511,7 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
             s.chrom, s.begin, s.end)) if ploidy else None,
         quality_threshold=ctx.config.quality_filter_threshold,
         reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+    prof.write(Path(ctx.output_dir) / f"{tumor.name}_profile.json")
     return out
 
 
@@ -570,39 +578,51 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
     PerSampleHMM -> joint pedigree caller -> multi-sample VCF."""
     cleaned: dict[str, BinSet] = {}
     ploidies: dict[str, PloidyInfo | None] = {}
+    prof = profiling.reset()
     # shared multi-sample bin size: median rate over ALL samples so bin
     # boundaries align (CanvasBin.CalculateMultiSampleBinSize :842-865)
     need_ingest = [s for s in samples
                    if not ctx.checkpointer.done(f"CanvasBin_{s.name}.binned.gz")]
-    observed_by_sample = {s.name: ingest_observed(ctx, s)
-                          for s in need_ingest}
-    all_rates: list[float] = []
-    for s in need_ingest:
-        all_rates.extend(autosome_rates(ctx, observed_by_sample[s.name]))
-    shared_bs = binning.bin_size_from_rates(
-        ctx.config.counts_per_bin, all_rates) if all_rates else None
-    for s in samples:
-        bins, _ = run_bin(ctx, s, bin_size=shared_bs,
-                          observed=observed_by_sample.get(s.name))
-        cleaned[s.name], _ = run_clean(ctx, s, bins)
-        ploidies[s.name] = load_ploidy_vcf(s.ploidy_vcf, s.name) \
-            if s.ploidy_vcf else None
-    # multi-sample bin intersection (Utilities.MergeMultiSampleCleanedBedFile)
-    cleaned = intersect_bins(cleaned)
-    parts = run_partition(ctx, cleaned, "PerSampleHMM", is_germline=True)
-    if common_cnvs_bed:
-        parts = _apply_common_cnvs(ctx, samples, parts, common_cnvs_bed)
+    with prof.stage("CanvasBin", samples=len(samples)):
+        observed_by_sample = {s.name: ingest_observed(ctx, s)
+                              for s in need_ingest}
+        all_rates: list[float] = []
+        for s in need_ingest:
+            all_rates.extend(autosome_rates(ctx, observed_by_sample[s.name]))
+        shared_bs = binning.bin_size_from_rates(
+            ctx.config.counts_per_bin, all_rates) if all_rates else None
+        bins_by_sample = {}
+        for s in samples:
+            bins_by_sample[s.name], _ = run_bin(
+                ctx, s, bin_size=shared_bs,
+                observed=observed_by_sample.get(s.name))
+    with prof.stage("CanvasClean"):
+        for s in samples:
+            cleaned[s.name], _ = run_clean(ctx, s, bins_by_sample[s.name])
+            ploidies[s.name] = load_ploidy_vcf(s.ploidy_vcf, s.name) \
+                if s.ploidy_vcf else None
+        # multi-sample bin intersection
+        # (Utilities.MergeMultiSampleCleanedBedFile)
+        cleaned = intersect_bins(cleaned)
+    with prof.stage("CanvasPartition",
+                    bins=sum(len(b) for b in cleaned.values())):
+        parts = run_partition(ctx, cleaned, "PerSampleHMM", is_germline=True)
+        if common_cnvs_bed:
+            parts = _apply_common_cnvs(ctx, samples, parts, common_cnvs_bed)
     segs_by_sample: dict[str, list] = {}
-    for s in samples:
-        by_contig = parts[s.name]
-        vf = run_snv(ctx, s, is_somatic=False)
-        attach_alleles(ctx, s, by_contig, vf)
-        segs_by_sample[s.name] = _flatten(by_contig, ctx.contigs)
+    with prof.stage("CanvasSNV"):
+        for s in samples:
+            by_contig = parts[s.name]
+            vf = run_snv(ctx, s, is_somatic=False)
+            attach_alleles(ctx, s, by_contig, vf)
+            segs_by_sample[s.name] = _flatten(by_contig, ctx.contigs)
     types = {s.name: s.sample_type for s in samples}
     ploidy_fns = {n: p.segment_ploidy_fn() for n, p in ploidies.items() if p}
-    pedigree_caller.call_pedigree(
-        segs_by_sample, types, ploidy_fns,
-        ctx.config.quality_filter_threshold)
+    with prof.stage("CanvasPedigreeCaller",
+                    segments=sum(len(v) for v in segs_by_sample.values())):
+        pedigree_caller.call_pedigree(
+            segs_by_sample, types, ploidy_fns,
+            ctx.config.quality_filter_threshold)
     for name, segs in segs_by_sample.items():
         set_filters(segs, ctx.config.quality_filter_threshold,
                     SEGMENT_SIZE_CUTOFF)
@@ -621,6 +641,7 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
         cov = np.concatenate([s.bin_counts for s in segs_by_sample[name]])
         _write_visualization(ctx, name, segs_by_sample[name],
                              float(np.median(cov)) if len(cov) else None)
+    prof.write(Path(ctx.output_dir) / "pedigree_profile.json")
     return out
 
 

@@ -108,3 +108,33 @@ def test_flag_unique_kmers_cli(tmp_path, rng):
     rc = main([str(tmp_path / "g.fa"), str(tmp_path / "k.fa")])
     assert rc == 0
     assert (tmp_path / "k.fa").exists()
+
+
+def test_contig_shards_balanced_and_deterministic():
+    from canvas_tpu.parallel.distributed import contig_shards
+
+    lengths = {f"chr{i}": (25 - i) * 10_000_000 for i in range(1, 23)}
+    shards = contig_shards(lengths, 4)
+    assert sum(len(s) for s in shards) == 22
+    # no contig appears twice
+    flat = [c for s in shards for c in s]
+    assert len(set(flat)) == 22
+    # balanced within the largest contig's size
+    loads = [sum(lengths[c] for c in s) for s in shards]
+    assert max(loads) - min(loads) <= max(lengths.values())
+    # longest contig goes first into shard 0
+    assert shards[0][0] == "chr1"
+    # deterministic
+    assert contig_shards(lengths, 4) == shards
+    assert contig_shards(lengths, 4, 2) == shards[2]
+
+
+def test_distributed_initialize_single_process():
+    from canvas_tpu.parallel.distributed import (all_gather_host_data,
+                                                 initialize)
+
+    pid, n = initialize()
+    assert pid == 0 and n >= 1
+    data = {"chr1": np.arange(5)}
+    out = all_gather_host_data(data)
+    assert np.array_equal(out["chr1"], data["chr1"])

@@ -143,3 +143,38 @@ def test_segment_coverage_batched_matches_percontig(rng):
                                 per_sample=True)
     got = hmm.segment_coverage_batched(covs, use_pallas=False, chunk=64)
     assert got == want
+
+
+def test_x64_parity_viterbi_decisions(rng):
+    """x64 mode parity: enabling jax f64 must not change decoded paths.
+
+    The emission/transition tables are built on the host in float64 and the
+    tropical Viterbi uses additions+max only, so f32 device math must agree
+    with f64 on the decoded state sequence for realistic magnitudes."""
+    import jax
+    from canvas_tpu.ops import hmm as H
+
+    T, D = 600, 1
+    true_states = np.repeat([2, 3, 1, 2], T // 4)
+    cov = rng.normal(true_states * 50.0, 6.0, (T,)).clip(1)[:, None]
+    import jax.numpy as jnp
+
+    tables, haploid, cov_cl = H.build_emission_tables(cov)
+    mask = jnp.ones((1, T), bool)
+    em = np.asarray(H.emission_log_probs(
+        jnp.asarray(cov_cl[None]), tables, mask))        # [1, T, S]
+    lt = H.log_transition(H.N_STATES)
+    li = np.full(H.N_STATES, -np.log(H.N_STATES))
+
+    def decode():
+        return np.asarray(H.viterbi_decode(
+            jnp.asarray(em), jnp.asarray(lt), jnp.asarray(li),
+            jnp.ones((1, T), bool))[0])
+
+    base = decode()
+    with jax.enable_x64(True):
+        wide = decode()
+    assert base.dtype == wide.dtype == np.int32
+    np.testing.assert_array_equal(base, wide)
+    # and the decode is actually correct
+    assert np.mean(base == true_states) > 0.95
