@@ -214,3 +214,34 @@ def test_evaluate_cnv_cli_split(tmp_path, capsys):
     assert "EvaluateCNVResults_500kb+.txt" in files
     body = (out / "EvaluateCNVResults_0kb_5kb.txt").read_text()
     assert "Recall\t100.0000" in body
+
+
+def test_somatic_parameter_sweep_converges():
+    from canvas_tpu.models import somatic as som
+    from canvas_tpu.tools import optimize_somatic_model as opt
+
+    # toy objective: score peaks when DeviationFactor == 2.0 and
+    # HeterogeneityWeight == 0.3; sweep must find them and restore globals
+    before = (som.DEVIATION_FACTOR, som.HETEROGENEITY_WEIGHT)
+
+    def run_fn(sample):
+        return (som.DEVIATION_FACTOR, som.HETEROGENEITY_WEIGHT)
+
+    def score_fn(sample, out):
+        df, hw = out
+        return -((df - 2.0) ** 2 + (hw - 0.3) ** 2)
+
+    grid = {"DeviationFactor": [1.0, 1.75, 2.0, 3.0],
+            "HeterogeneityWeight": [0.1, 0.202, 0.3, 0.5]}
+    res = opt.sweep(grid, run_fn, score_fn, samples=[1, 2, 3, 4, 5])
+    assert res.best_params["DeviationFactor"] == 2.0
+    assert res.best_params["HeterogeneityWeight"] == 0.3
+    assert (som.DEVIATION_FACTOR, som.HETEROGENEITY_WEIGHT) == before
+    assert len(res.history) > 0
+
+
+def test_sweep_rejects_unknown_parameter():
+    from canvas_tpu.tools import optimize_somatic_model as opt
+
+    with pytest.raises(ValueError):
+        opt.sweep({"NotAParam": [1]}, lambda s: None, lambda s, o: 0.0, [1])
