@@ -53,10 +53,14 @@ def main():
 
     @jax.jit
     def emission(c, m):
-        idx = _jnp.clip(_jnp.rint(c).astype(_jnp.int32), 0, V - 1)
-        f = _jnp.take_along_axis(
-            logt[None, None], idx[:, :, None, :, None], axis=-1)[..., 0]
-        return _jnp.where(m[..., None], f[..., 0], 0.0)
+        # one-hot MXU contraction; HIGHEST precision = exact row selection
+        idx = _jnp.clip(_jnp.rint(c[..., 0]).astype(_jnp.int32), 0, V - 1)
+        oh = (idx[..., None]
+              == _jnp.arange(V, dtype=_jnp.int32)).astype(_jnp.float32)
+        f = jax.lax.dot_general(oh, logt.reshape(-1, V).T,
+                                (((2,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        return _jnp.where(m[..., None], f, 0.0)
 
     def step(c, m):
         return viterbi_decode_pallas(emission(c, m), log_trans, log_init, m)

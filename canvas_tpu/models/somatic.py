@@ -738,6 +738,158 @@ def coverage_weighting_factor(median_coverage_level: int,
     return COVERAGE_WEIGHTING / median_coverage_level
 
 
+# ---------------------------------------------------------------------------
+# GaussianMixture clustering mode (:1701-1713, :1499-1600, :790-832,
+# :2494-2540) — EM over (MAF, coverage) with model-point seeding
+# ---------------------------------------------------------------------------
+
+def best_coverage_weighting_factor(
+    infos: list[SegmentInfo],
+    max_coverage_level: float,
+    median_coverage_level: float,
+    knn: np.ndarray, knn_cutoff: float,
+) -> float:
+    """BestCoverageWeightingFactor (:1579-1600): sweep ten factors between
+    0.1/maxCoverage and CoverageWeighting/medianCoverage, seeding a
+    6-cluster EM from a purity-90% model at coverage median/2, and keep the
+    likelihood-maximizing factor."""
+    from canvas_tpu.ops import clustering as cl
+
+    seg_maf = np.array([i.maf for i in infos])
+    seg_cov = np.array([i.coverage for i in infos])
+    seg_w = np.array([i.weight for i in infos])
+    max_cw = COVERAGE_WEIGHTING / median_coverage_level
+    min_cw = 0.1 / max(max_coverage_level, 1.0)
+    step = max(1e-5, (max_cw - min_cw) / 10)
+    seed = PurityModel(median_coverage_level / 2.0, 0.90)
+    ploidies = initialize_ploidies(median_coverage_level)
+    model_points(seed, ploidies)
+    init_maf = np.array([p.mixed_maf for p in ploidies[:6]])
+    init_cov = np.array([p.mixed_coverage for p in ploidies[:6]])
+    best_lik, best_cw = -np.inf, min_cw
+    cw = min_cw
+    while cw < max_cw:
+        _, _, _, lik = cl.gmm_em(init_maf, init_cov, seg_maf, seg_cov,
+                                 seg_w, cw, knn, knn_cutoff)
+        if lik > best_lik:
+            best_lik, best_cw = lik, cw
+        cw += step
+    return best_cw
+
+
+def best_num_clusters(
+    infos: list[SegmentInfo],
+    coverage_weight: float,
+    knn: np.ndarray, knn_cutoff: float,
+    rng: np.random.Generator,
+):
+    """BestNumClusters (:1499-1542): sweep 4..7 clusters x 10 random
+    segment-seeded EMs, score by silhouette; returns
+    (n_clusters, cluster_ids) of the best run."""
+    from canvas_tpu.ops import clustering as cl
+
+    seg_maf = np.array([i.maf for i in infos])
+    seg_cov = np.array([i.coverage for i in infos])
+    seg_w = np.array([i.weight for i in infos])
+    ok = seg_maf >= 0
+    # pairwise-distance threshold at the 80th percentile (:1505-1519)
+    dc = ((seg_cov[ok][:, None] - seg_cov[ok][None, :]) * coverage_weight) ** 2
+    d = dc + (seg_maf[ok][:, None] - seg_maf[ok][None, :]) ** 2
+    offdiag = d[~np.eye(len(d), dtype=bool)]
+    offdiag.sort()
+    thr = offdiag[min(int(len(offdiag) * 0.8), len(offdiag) - 1)] \
+        if len(offdiag) else 0.0
+
+    idx_ok = np.flatnonzero(ok)
+    best_sil, best = -np.inf, (0, None)
+    for n_clusters in range(4, 8):
+        for _ in range(10):
+            # segment-subsample seeding with the distance-escape rule
+            # (InitializeModelPoints(segments, numClusters, thr), :592-637)
+            last = int(rng.integers(1, len(idx_ok)))
+            seeds = [idx_ok[last]]
+            attempts = 0.0
+            while len(seeds) < n_clusters:
+                new = int(rng.integers(1, len(idx_ok)))
+                attempts += 1.0
+                dist = (seg_cov[idx_ok[last]] - seg_cov[idx_ok[new]]) ** 2 \
+                    * coverage_weight ** 2 \
+                    + (seg_maf[idx_ok[last]] - seg_maf[idx_ok[new]]) ** 2
+                if dist > thr or attempts / len(idx_ok) > 0.3:
+                    seeds.append(idx_ok[new])
+                    last = new
+                    attempts = 0.0
+            _, _, ids, _ = cl.gmm_em(seg_maf[seeds], seg_cov[seeds],
+                                     seg_maf, seg_cov, seg_w,
+                                     coverage_weight, knn, knn_cutoff)
+            sil = cl.silhouette(seg_maf, seg_cov, ids, coverage_weight,
+                                n_clusters)
+            if sil > best_sil:
+                best_sil, best = sil, (n_clusters, ids)
+    return best
+
+
+def fit_gaussians(
+    model: PurityModel,
+    infos: list[SegmentInfo],
+    ploidies: list[PloidyState],
+    coverage_weight: float,
+    knn: np.ndarray | None = None,
+    knn_cutoff: float = np.inf,
+):
+    """FitGaussians (:790-832): EM with component means pinned at the
+    model points; stores (omega, mu, sigma) per ploidy state and returns
+    (components, likelihood)."""
+    from canvas_tpu.ops import clustering as cl
+
+    model_points(model, ploidies)
+    seg_maf = np.array([i.maf for i in infos])
+    seg_cov = np.array([i.coverage for i in infos])
+    seg_w = np.array([i.weight for i in infos])
+    if knn is None:
+        knn = np.zeros(len(infos))
+    comps, _, _, lik = cl.gmm_em(
+        np.array([p.mixed_maf for p in ploidies]),
+        np.array([p.mixed_coverage for p in ploidies]),
+        seg_maf, seg_cov, seg_w, coverage_weight, knn, knn_cutoff,
+        update_means=False)
+    return comps, lik
+
+
+def assign_ploidy_calls_gaussian_mixture(
+    segments: list[Segment],
+    model: PurityModel,
+    ploidies: list[PloidyState],
+    components,
+) -> None:
+    """AssignPloidyCallsGaussianMixture (:2494-2540): posterior-probability
+    assignment using the fitted per-ploidy Gaussians; zero posterior falls
+    back to coverage-only rounding."""
+    from canvas_tpu.ops.clustering import _gauss2
+
+    for seg in segments:
+        folded = np.where(seg.baf_frequencies > 0.5,
+                          1 - seg.baf_frequencies, seg.baf_frequencies)
+        folded = np.sort(folded.astype(np.float64))
+        median_cov = stats.median(seg.bin_counts)
+        median_maf = float(folded[len(folded) // 2]) \
+            if len(folded) >= 10 else -1.0
+        probs = np.array([
+            c.omega * float(_gauss2(np.array([median_maf]),
+                                    np.array([median_cov]), c)[0])
+            for c in components])
+        total = probs.sum()
+        post = probs / total if total > 0 else probs
+        best = int(np.argmax(post))
+        if post[best] == 0:
+            seg.copy_number = int(round(2 * median_cov
+                                        / model.diploid_coverage))
+            seg.major_chromosome_count = seg.copy_number // 2
+        else:
+            seg.copy_number = ploidies[best].copy_number
+            seg.major_chromosome_count = ploidies[best].major_count
+
+
 def assign_ploidy_calls(
     segments: list[Segment],
     model: PurityModel,
@@ -925,7 +1077,18 @@ def call_somatic(
                     [relabel.get(int(l), cl.OUTLIER_CLUSTER_FLAG)
                      for l in seg_labels])
                 n_clusters = len(good)
-        else:  # Density (GaussianMixture shares the density path's output)
+        elif clustering_mode == "GaussianMixture":
+            # best weighting factor + cluster count by silhouette, then EM
+            # (:1701-1713)
+            knn, knn_cut = cl.knearest_neighbour_cutoff(seg_cov, seg_maf, cw)
+            max_lvl = float(np.percentile(seg_cov, 75))
+            gmm_cw = best_coverage_weighting_factor(
+                infos, max_lvl, median_coverage_level, knn, knn_cut)
+            n_best, ids = best_num_clusters(
+                infos, gmm_cw, knn, knn_cut, np.random.default_rng(0))
+            if n_best > 0 and ids is not None:
+                cluster_ids, n_clusters = ids, n_best
+        else:  # Density
             knn, knn_cut = cl.knearest_neighbour_cutoff(seg_cov, seg_maf, cw)
             try:
                 res = cl.density_cluster(seg_cov, seg_maf, seg_w, cw, knn_cut,
@@ -961,7 +1124,16 @@ def call_somatic(
     ploidies = initialize_ploidies(mean_coverage)
     model_deviation(model, ploidies, infos, cw, cluster_ids, n_clusters,
                     mean_coverage)
-    assign_ploidy_calls(segments, model, ploidies, cw, ref_ploidy_fn)
+    if clustering_mode == "GaussianMixture" and run_clustering:
+        # GMM mode assigns by posterior under per-ploidy Gaussians fitted
+        # on the chosen model's points (AssignPloidyCallsGaussianMixture,
+        # :2494-2540; the reference's gate is ploidies carrying Sigma from
+        # the earlier EM runs — here the fit is re-run on the best model)
+        comps, _ = fit_gaussians(model, infos, ploidies, cw)
+        assign_ploidy_calls_gaussian_mixture(segments, model, ploidies,
+                                             comps)
+    else:
+        assign_ploidy_calls(segments, model, ploidies, cw, ref_ploidy_fn)
 
     # heterogeneity marking via clonality scores on the best model
     # (:2566-2574, gated on evenness for WGS)

@@ -148,12 +148,15 @@ def emission_log_probs(
         grouped = grouped.at[3].set(jnp.maximum(logt[3], logt[4]))
         grouped = grouped.at[4].set(jnp.maximum(logt[3], logt[4]))
         logt = grouped
-    # factor[b,t,d,s] = logt[s, d, idx[b,t,d]]
-    factor = jnp.take_along_axis(
-        logt[None, None],                       # [1,1,S,D,V]
-        idx[:, :, None, :, None],               # [B,T,1,D,1]
-        axis=-1,
-    )[..., 0]                                   # [B,T,S,D]
+    # factor[b,t,d,s] = logt[s, d, idx[b,t,d]], expressed as a one-hot
+    # matmul over the V axis: per-element gathers scalarize on TPU (~36 ms
+    # for 12.6M bins) while the MXU contraction runs in ~11 ms with
+    # HIGHEST precision giving bit-identical f32 results (each one-hot row
+    # selects exactly one table entry, so no accumulation rounding occurs)
+    onehot = (idx[..., None]
+              == jnp.arange(V, dtype=jnp.int32)).astype(coverage.dtype)
+    factor = jnp.einsum("btdv,sdv->btsd", onehot, logt,
+                        precision=jax.lax.Precision.HIGHEST)  # [B,T,S,D]
 
     ems = []
     for j in range(S):

@@ -103,3 +103,31 @@ def ratios_to_counts(ratios: BinSet, ploidy_of_bin: np.ndarray | None = None) ->
         else np.asarray(ploidy_of_bin, dtype=np.float64)
     counts = ratios.count.astype(np.float64) * DIPLOID_BIN_RATIO_FACTOR * ploidy / 2.0
     return ratios.with_count(counts.astype(np.float32))
+
+
+def write_cnd_file(sample: "BinSet", reference: "BinSet", ratios: "BinSet",
+                   path) -> None:
+    """Copy-number-data CSV (CanvasNormalizeUtilities.WriteCndFile, :51-95):
+    one row per ratio bin with the matching fragment/reference counts;
+    bins dropped during ratio calculation are skipped by key alignment."""
+    import csv
+
+    def keys(b):
+        return {(int(b.contig_id[i]), int(b.start[i])): i
+                for i in range(len(b))}
+
+    skey = keys(sample)
+    rkey = keys(reference)
+    with open(str(path), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Fragment Count", "Reference Count", "Chromosome",
+                    "Start", "End", "Unsmoothed Log Ratio"])
+        names = ratios.contigs.names
+        for i in range(len(ratios)):
+            k = (int(ratios.contig_id[i]), int(ratios.start[i]))
+            si, ri = skey.get(k), rkey.get(k)
+            if si is None or ri is None:
+                continue
+            w.writerow([f"{sample.count[si]:g}", f"{reference.count[ri]:g}",
+                        names[k[0]], int(ratios.start[i]),
+                        int(ratios.end[i]), f"{ratios.count[i]:g}"])

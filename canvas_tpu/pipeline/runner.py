@@ -462,6 +462,9 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
                 n_bins, _ = run_bin(ctx, normal)
             n_clean, _ = run_clean(ctx, normal, n_bins)
             ratios = ratio.lsnorm_ratios(t_clean, n_clean)
+            ratio.write_cnd_file(
+                t_clean, n_clean, ratios,
+                Path(ctx.output_dir) / f"{tumor.name}.cnd")
             work = ratio.ratios_to_counts(ratios)
     with prof.stage("CanvasSNV"):
         vf = run_snv(ctx, tumor, is_somatic=True)

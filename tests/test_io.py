@@ -144,3 +144,27 @@ def test_frequency_roundtrip(tmp_path):
     snv.write_frequencies(p, sites)
     out = snv.read_frequencies(p, {"chr1": [(0, 1000)]})
     assert out["chr1"][0] == [(100, 10, 12)]
+
+
+def test_write_cnd_file(tmp_path):
+    from canvas_tpu.ops import ratio as rt
+    from canvas_tpu.io.bins import BinSet
+    from canvas_tpu.genome.contigs import ContigTable
+
+    ct = ContigTable(["chr1"], [10_000])
+    mk = lambda counts: BinSet(
+        ct, np.zeros(len(counts), np.int32),
+        np.arange(len(counts), dtype=np.int64) * 100,
+        (np.arange(len(counts), dtype=np.int64) + 1) * 100,
+        np.full(len(counts), 40, np.int16),
+        np.asarray(counts, np.float32))
+    tumor = mk([10, 20, 30, 40])
+    normal = mk([5, 0.5, 15, 20])   # bin 1 dropped by ratio (ref < 1)
+    ratios = rt.lsnorm_ratios(tumor, normal)
+    out = tmp_path / "s.cnd"
+    rt.write_cnd_file(tumor, normal, ratios, out)
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("Fragment Count,Reference Count")
+    assert len(lines) == 1 + len(ratios)          # dropped bin skipped
+    assert lines[1].split(",")[0] == "10"
+    assert lines[1].split(",")[2] == "chr1"

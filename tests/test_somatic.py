@@ -126,3 +126,39 @@ def test_chromosome_count():
     s.copy_number = 3
     segs.append(s)
     assert som.estimate_chromosome_count(segs) == pytest.approx(7.0)
+
+
+def test_gaussian_mixture_mode_recovers_model(rng):
+    """GaussianMixture clustering mode end-to-end through call_somatic."""
+    import copy as _copy
+    segs, genome = build_tumor(rng, purity=0.6, diploid_cov=100.0)
+    big, pos = [], 0
+    for rep in range(15):
+        for s in segs:
+            c = _copy.deepcopy(s)
+            c.begin, c.end = pos, pos + s.length
+            pos += s.length
+            big.append(c)
+    model, _ = som.call_somatic(big, pos, evenness_score=96.0,
+                                clustering_mode="GaussianMixture")
+    assert model.purity == pytest.approx(0.6, abs=0.1)
+    assert model.diploid_coverage == pytest.approx(100.0, rel=0.1)
+    cns = [s.copy_number for s in big]
+    assert all(c >= 0 for c in cns)
+
+
+def test_fit_gaussians_and_posterior_assignment(rng):
+    segs, genome = build_tumor(rng, purity=0.65, diploid_cov=90.0)
+    infos, _ = som.usable_segments_with_relaxation(segs)
+    cov_all = np.concatenate([i.segment.bin_counts for i in infos])
+    mean_cov = float(np.mean(cov_all, dtype=np.float64))
+    ploidies = som.initialize_ploidies(mean_cov)
+    model = som.PurityModel(90.0, 0.65)
+    comps, lik = som.fit_gaussians(model, infos, ploidies, 0.6 / 90)
+    assert len(comps) == len(ploidies)
+    assert np.isfinite(lik)
+    som.assign_ploidy_calls_gaussian_mixture(segs, model, ploidies, comps)
+    # diploid segments should still be called CN2-ish
+    from collections import Counter
+    c = Counter(s.copy_number for s in segs)
+    assert c.most_common(1)[0][0] in (1, 2, 3)
