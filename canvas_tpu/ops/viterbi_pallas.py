@@ -1,9 +1,9 @@
 """Pallas TPU kernels for the chunked Viterbi decode.
 
 The XLA lax.scan implementation (hmm.viterbi_decode_chunked) pays per-step
-carry round-trips to HBM; these kernels keep the carries in VMEM for the
-whole chunk, so HBM traffic collapses to one emission read per phase plus
-the int8 path outputs:
+carry round-trips to HBM; these kernels keep the [S, S, lanes] carry in
+VMEM for the whole chunk, so HBM traffic collapses to one emission read per
+phase plus the int8 path outputs:
 
   kernel 1: per-chunk (max,+) transfer matrices      (phase 1)
   kernel 2: in-chunk forward + backtrack of all S
@@ -12,17 +12,6 @@ the int8 path outputs:
 The tiny cross-chunk associative scan (phase 2) and the chunk-boundary
 pointer chase (phase 4b) stay in XLA.  Layout is lane-last throughout:
 lanes = B * n_chunks, padded to a multiple of the lane block.
-
-Latency structure: a naive in-kernel walk is `chunk` sequential fori steps
-with only S^2-chain ILP per step — latency-bound on the VPU.  Each chunk is
-therefore split into G groups processed simultaneously (the chunking trick
-applied recursively inside the kernel): every fori iteration advances all G
-groups at once (G*S^2 independent chains), leaving chunk/G sequential
-iterations.  Group transfer matrices are then composed in (max,+) to give
-the chunk matrix; forward and backtrack passes run per-group from
-group-boundary scores, with boundary backpointers recovered directly from
-argmax over (group-start score + group matrix) instead of a sequential
-chain.  This took the 12.6M-bin decode from 21.5 ms to ~7 ms on v5e.
 
 Mosaic notes:
   * masks are not shipped as [chunk, L] arrays (dynamic sublane indexing is
@@ -45,7 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LANE_BLOCK = 512
-GROUPS = 8
 
 
 def _select_by_index(idx, values):
@@ -56,87 +44,33 @@ def _select_by_index(idx, values):
     return out
 
 
-def _maxplus_mm(A, B, S):
-    """(max,+) matrix product of two flat [S*S] lists of lane vectors."""
-    out = []
-    for i in range(S):
-        for j in range(S):
-            acc = A[i * S + 0] + B[0 * S + j]
-            for k in range(1, S):
-                acc = jnp.maximum(acc, A[i * S + k] + B[k * S + j])
-            out.append(acc)
-    return out
+def _chunk_matrix_kernel(em_ref, base_ref, len_ref, out_ref, *, chunk, S,
+                         log_trans, log_init):
+    lt, li = log_trans, log_init
+    base = base_ref[0]                    # [LB] global-t at k=0 for each lane
+    length = len_ref[0]                   # [LB] valid sequence length
 
+    def step(k, M):
+        e = em_ref[k]                     # [S, LB]
+        t = base + k
+        m = t < length
+        t0 = t == 0
+        out = []
+        for i in range(S):
+            for j in range(S):
+                acc = M[i * S + 0] + lt[0][j]
+                for kk in range(1, S):
+                    acc = jnp.maximum(acc, M[i * S + kk] + lt[kk][j])
+                reg = acc + e[j]
+                t0v = li[j] + e[j]
+                out.append(jnp.where(m, jnp.where(t0, t0v, reg),
+                                     M[i * S + j]))
+        return out
 
-def _maxplus_vm(v, M, S):
-    """(max,+) vector-matrix product: v [S] lane vectors, M flat [S*S]."""
-    out = []
-    for j in range(S):
-        acc = v[0] + M[0 * S + j]
-        for i in range(1, S):
-            acc = jnp.maximum(acc, v[i] + M[i * S + j])
-        out.append(acc)
-    return out
-
-
-def _argmax_vm(v, M, S):
-    """First-max argmax_i (v[i] + M[i,j]) per state j (int32 lane arrays),
-    matching the forward pass's strict-> tie-breaking."""
-    out = []
-    for j in range(S):
-        acc = v[0] + M[0 * S + j]
-        arg = jnp.zeros_like(acc, dtype=jnp.int32)
-        for i in range(1, S):
-            cand = v[i] + M[i * S + j]
-            better = cand > acc
-            acc = jnp.maximum(acc, cand)
-            arg = jnp.where(better, i, arg)
-        out.append(arg)
-    return out
-
-
-def _group_matrices(em_ref, base, length, *, chunk, S, G, lt, li):
-    """All G per-group transfer matrices, advanced simultaneously.
-
-    Returns a list of G flat [S*S] lists of [LB] lane vectors."""
-    sg = chunk // G
     LB = em_ref.shape[-1]
     eye = [jnp.full((LB,), 0.0 if i == j else NEG_INF, jnp.float32)
            for i in range(S) for j in range(S)]
-
-    def step(k, Ms):
-        new_Ms = []
-        for g in range(G):
-            M = Ms[g]
-            e = em_ref[g * sg + k]            # [S, LB]
-            t = base + g * sg + k
-            m = t < length
-            t0 = t == 0
-            out = []
-            for i in range(S):
-                for j in range(S):
-                    acc = M[i * S + 0] + lt[0][j]
-                    for kk in range(1, S):
-                        acc = jnp.maximum(acc, M[i * S + kk] + lt[kk][j])
-                    reg = acc + e[j]
-                    t0v = li[j] + e[j]
-                    out.append(jnp.where(m, jnp.where(t0, t0v, reg),
-                                         M[i * S + j]))
-            new_Ms.append(out)
-        return new_Ms
-
-    return jax.lax.fori_loop(0, sg, step, [list(eye) for _ in range(G)])
-
-
-def _chunk_matrix_kernel(em_ref, base_ref, len_ref, out_ref, *, chunk, S, G,
-                         log_trans, log_init):
-    base = base_ref[0]                    # [LB] global-t at k=0 for each lane
-    length = len_ref[0]                   # [LB] valid sequence length
-    Ms = _group_matrices(em_ref, base, length, chunk=chunk, S=S, G=G,
-                         lt=log_trans, li=log_init)
-    M = Ms[0]
-    for g in range(1, G):
-        M = _maxplus_mm(M, Ms[g], S)
+    M = jax.lax.fori_loop(0, chunk, step, eye)
     for i in range(S):
         for j in range(S):
             out_ref[i, j] = M[i * S + j]
@@ -144,81 +78,53 @@ def _chunk_matrix_kernel(em_ref, base_ref, len_ref, out_ref, *, chunk, S, G,
 
 def _forward_backtrack_kernel(em_ref, base_ref, len_ref, ss_ref,
                               paths_ref, prevend_ref, bp_scratch, *,
-                              chunk, S, G, log_trans, log_init):
+                              chunk, S, log_trans, log_init):
     lt, li = log_trans, log_init
-    sg = chunk // G
     base = base_ref[0]
     length = len_ref[0]
 
-    # ---- pass A: group matrices -> group-start scores + boundary argmax
-    Ms = _group_matrices(em_ref, base, length, chunk=chunk, S=S, G=G,
-                         lt=lt, li=li)
-    vs = [[ss_ref[j] for j in range(S)]]            # vs[g] = scores entering g
-    for g in range(G - 1):
-        vs.append(_maxplus_vm(vs[g], Ms[g], S))
-    # prevstart[g][j] = state entering group g on the best path that leaves
-    # it in state j (the group-boundary backpointer, from the matrix alone)
-    prevstart = [_argmax_vm(vs[g], Ms[g], S) for g in range(G)]
+    # ---- forward: scores carry [S][LB], backpointers into VMEM scratch
+    def fstep(k, V):
+        e = em_ref[k]
+        t = base + k
+        m = t < length
+        t0 = t == 0
+        news = []
+        for j in range(S):
+            acc = V[0] + lt[0][j]
+            arg = jnp.zeros_like(acc, dtype=jnp.int32)
+            for i in range(1, S):
+                cand = V[i] + lt[i][j]
+                better = cand > acc
+                acc = jnp.maximum(acc, cand)
+                arg = jnp.where(better, i, arg)
+            reg = acc + e[j]
+            t0v = li[j] + e[j]
+            news.append(jnp.where(m, jnp.where(t0, t0v, reg), V[j]))
+            bp_j = jnp.where(m & ~t0, arg, j)
+            bp_scratch[k, j] = bp_j.astype(jnp.int8)
+        return news
 
-    # ---- pass B: forward within every group simultaneously, bps to VMEM
-    def fstep(k, Vs):
-        new_Vs = []
-        for g in range(G):
-            V = Vs[g]
-            e = em_ref[g * sg + k]
-            t = base + g * sg + k
-            m = t < length
-            t0 = t == 0
-            news = []
-            for j in range(S):
-                acc = V[0] + lt[0][j]
-                arg = jnp.zeros_like(acc, dtype=jnp.int32)
-                for i in range(1, S):
-                    cand = V[i] + lt[i][j]
-                    better = cand > acc
-                    acc = jnp.maximum(acc, cand)
-                    arg = jnp.where(better, i, arg)
-                reg = acc + e[j]
-                t0v = li[j] + e[j]
-                news.append(jnp.where(m, jnp.where(t0, t0v, reg), V[j]))
-                bp_j = jnp.where(m & ~t0, arg, j)
-                bp_scratch[g * sg + k, j] = bp_j.astype(jnp.int8)
-            new_Vs.append(news)
-        return new_Vs
+    V0 = [ss_ref[j] for j in range(S)]
+    jax.lax.fori_loop(0, chunk, fstep, V0)
 
-    jax.lax.fori_loop(0, sg, fstep, vs)
-
-    # ---- boundary chase: state at each group's end, per assumed chunk-end
-    # state s (tiny: G*S selects), then backtrack all groups in parallel
-    bstate = [[None] * S for _ in range(G)]
-    for s in range(S):
-        LB = em_ref.shape[-1]
-        bstate[G - 1][s] = jnp.full((LB,), s, jnp.int32)
-    for g in range(G - 2, -1, -1):
+    # ---- backtrack all S assumed end states: carry [S][LB] int32
+    def bstep(tt, state):
+        k = chunk - 1 - tt                # walk k = chunk-1 .. 1
+        bp_k = [bp_scratch[k, i].astype(jnp.int32) for i in range(S)]
+        new = []
         for s in range(S):
-            bstate[g][s] = _select_by_index(bstate[g + 1][s],
-                                            prevstart[g + 1])
+            paths_ref[k, s] = state[s].astype(jnp.int8)
+            new.append(_select_by_index(state[s], bp_k))
+        return new
+
+    LB = em_ref.shape[-1]
+    init = [jnp.full((LB,), s, jnp.int32) for s in range(S)]
+    state = jax.lax.fori_loop(0, chunk - 1, bstep, init)
+    bp0 = [bp_scratch[0, i].astype(jnp.int32) for i in range(S)]
     for s in range(S):
-        prevend_ref[s] = _select_by_index(bstate[0][s],
-                                          prevstart[0]).astype(jnp.int8)
-
-    def bstep(tt, states):
-        k = sg - 1 - tt                   # walk k = sg-1 .. 1 in every group
-        new_states = []
-        for g in range(G):
-            bp_k = [bp_scratch[g * sg + k, i].astype(jnp.int32)
-                    for i in range(S)]
-            new = []
-            for s in range(S):
-                paths_ref[g * sg + k, s] = states[g][s].astype(jnp.int8)
-                new.append(_select_by_index(states[g][s], bp_k))
-            new_states.append(new)
-        return new_states
-
-    states = jax.lax.fori_loop(0, sg - 1, bstep, bstate)
-    for g in range(G):
-        for s in range(S):
-            paths_ref[g * sg + 0, s] = states[g][s].astype(jnp.int8)
+        paths_ref[0, s] = state[s].astype(jnp.int8)
+        prevend_ref[s] = _select_by_index(state[s], bp0).astype(jnp.int8)
 
 
 def _maxplus_combine(a, b):
@@ -231,7 +137,6 @@ def viterbi_decode_pallas(
     log_init,               # [S] HOST array
     mask: jnp.ndarray,      # [B, T]; must be a prefix mask per lane
     chunk: int = 256,
-    groups: int = GROUPS,
 ) -> jnp.ndarray:
     """Drop-in replacement for hmm.viterbi_decode_chunked (same outputs).
 
@@ -242,13 +147,11 @@ def viterbi_decode_pallas(
     li = tuple(float(x) for x in np.asarray(log_init))
     lengths = jnp.sum(mask.astype(jnp.int32), axis=1)      # [B]
     interpret = jax.default_backend() == "cpu"  # pallas CPU = interpreter
-    return _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, groups,
-                               interpret)
+    return _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, interpret)
 
 
-@partial(jax.jit, static_argnames=("lt", "li", "chunk", "groups",
-                                   "interpret"))
-def _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, groups, interpret):
+@partial(jax.jit, static_argnames=("lt", "li", "chunk", "interpret"))
+def _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, interpret):
     B, T, S = log_em.shape
     pad_t = (-T) % chunk
     if pad_t:
@@ -279,8 +182,8 @@ def _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, groups, interpret):
                             memory_space=pltpu.VMEM)
 
     chunk_mats = pl.pallas_call(
-        partial(_chunk_matrix_kernel, chunk=chunk, S=S, G=groups,
-                log_trans=lt, log_init=li),
+        partial(_chunk_matrix_kernel, chunk=chunk, S=S, log_trans=lt,
+                log_init=li),
         grid=grid,
         in_specs=[em_spec, vec_spec, vec_spec],
         out_specs=pl.BlockSpec((S, S, LANE_BLOCK), lambda i: (0, 0, i),
@@ -300,8 +203,8 @@ def _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, groups, interpret):
         ss = jnp.pad(ss, ((0, 0), (0, pad_l)))
 
     paths_all, prev_end = pl.pallas_call(
-        partial(_forward_backtrack_kernel, chunk=chunk, S=S, G=groups,
-                log_trans=lt, log_init=li),
+        partial(_forward_backtrack_kernel, chunk=chunk, S=S, log_trans=lt,
+                log_init=li),
         grid=grid,
         in_specs=[em_spec, vec_spec, vec_spec,
                   pl.BlockSpec((S, LANE_BLOCK), lambda i: (0, i),
