@@ -44,9 +44,32 @@ def _select_by_index(idx, values):
     return out
 
 
+def _uniform_trans(log_trans):
+    """(self, off) when the transition matrix is uniform (equal diagonal,
+    equal off-diagonal — Canvas's 0.99/uniform-rest, HMM.cs:16), else None.
+
+    The (max,+) product then collapses exactly: max_k M[i,k] + lt[k][j]
+    = max(M[i,j] + self, rowmax_i + off), because fl(x + c) is monotone in
+    x so the max commutes with the add — bit-identical to the full chain,
+    at S+1 instead of S^2 ops per row."""
+    S = len(log_trans)
+    if S < 2:
+        return None
+    self_p = log_trans[0][0]
+    off = log_trans[0][1]
+    if off >= self_p:
+        return None
+    for i in range(S):
+        for j in range(S):
+            if log_trans[i][j] != (self_p if i == j else off):
+                return None
+    return self_p, off
+
+
 def _chunk_matrix_kernel(em_ref, base_ref, len_ref, out_ref, *, chunk, S,
                          log_trans, log_init):
     lt, li = log_trans, log_init
+    uni = _uniform_trans(lt)
     base = base_ref[0]                    # [LB] global-t at k=0 for each lane
     length = len_ref[0]                   # [LB] valid sequence length
 
@@ -57,10 +80,18 @@ def _chunk_matrix_kernel(em_ref, base_ref, len_ref, out_ref, *, chunk, S,
         t0 = t == 0
         out = []
         for i in range(S):
-            for j in range(S):
-                acc = M[i * S + 0] + lt[0][j]
+            if uni is not None:
+                ls, lo = uni
+                rowmax = M[i * S + 0]
                 for kk in range(1, S):
-                    acc = jnp.maximum(acc, M[i * S + kk] + lt[kk][j])
+                    rowmax = jnp.maximum(rowmax, M[i * S + kk])
+            for j in range(S):
+                if uni is not None:
+                    acc = jnp.maximum(M[i * S + j] + ls, rowmax + lo)
+                else:
+                    acc = M[i * S + 0] + lt[0][j]
+                    for kk in range(1, S):
+                        acc = jnp.maximum(acc, M[i * S + kk] + lt[kk][j])
                 reg = acc + e[j]
                 t0v = li[j] + e[j]
                 out.append(jnp.where(m, jnp.where(t0, t0v, reg),
@@ -84,20 +115,40 @@ def _forward_backtrack_kernel(em_ref, base_ref, len_ref, ss_ref,
     length = len_ref[0]
 
     # ---- forward: scores carry [S][LB], backpointers into VMEM scratch
+    uni = _uniform_trans(lt)
+
     def fstep(k, V):
         e = em_ref[k]
         t = base + k
         m = t < length
         t0 = t == 0
         news = []
-        for j in range(S):
-            acc = V[0] + lt[0][j]
-            arg = jnp.zeros_like(acc, dtype=jnp.int32)
+        if uni is not None:
+            # uniform transitions: one rounded off-diagonal scan shared by
+            # every j.  First-max ties must be taken over the ROUNDED
+            # V[i]+off values (not V itself) to match the general chain.
+            ls, lo = uni
+            w0 = V[0] + lo
+            A = w0
+            fa = jnp.zeros_like(w0, dtype=jnp.int32)
             for i in range(1, S):
-                cand = V[i] + lt[i][j]
-                better = cand > acc
-                acc = jnp.maximum(acc, cand)
-                arg = jnp.where(better, i, arg)
+                wi = V[i] + lo
+                better = wi > A
+                A = jnp.maximum(A, wi)
+                fa = jnp.where(better, i, fa)
+        for j in range(S):
+            if uni is not None:
+                Bj = V[j] + ls
+                acc = jnp.maximum(A, Bj)
+                arg = jnp.where((A > Bj) | ((A == Bj) & (fa < j)), fa, j)
+            else:
+                acc = V[0] + lt[0][j]
+                arg = jnp.zeros_like(acc, dtype=jnp.int32)
+                for i in range(1, S):
+                    cand = V[i] + lt[i][j]
+                    better = cand > acc
+                    acc = jnp.maximum(acc, cand)
+                    arg = jnp.where(better, i, arg)
             reg = acc + e[j]
             t0v = li[j] + e[j]
             news.append(jnp.where(m, jnp.where(t0, t0v, reg), V[j]))
