@@ -106,3 +106,60 @@ def cpu_mesh_env(n: int = 8) -> dict:
         "XLA_FLAGS": os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n}",
     }
+
+
+# ---------------------------------------------------------------------------
+# JSON parameter files (SURVEY.md §5 config tier 3): the reference ships
+# SomaticCallerParameters.json / PedigreeCallerParameters.json /
+# QualityScoreParameters.json / CanvasPartitionParameters.json next to the
+# binaries and deserializes them at startup.  load_parameter_file applies a
+# file of the same shape: CanvasConfig fields by snake_case name, somatic
+# caller constants by their PascalCase JSON name.
+# ---------------------------------------------------------------------------
+
+# SomaticCallerParameters.json name -> canvas_tpu.models.somatic attribute
+SOMATIC_JSON_FIELDS = {
+    "MaximumCopyNumber": "MAX_COPY_NUMBER",
+    "MinimumVariantFrequenciesForInformativeSegment": "MIN_VF_FOR_INFORMATIVE",
+    "CoverageWeighting": "COVERAGE_WEIGHTING",
+    "CoverageWeightingWithMafSegmentation": "COVERAGE_WEIGHTING_WITH_MAF",
+    "EvennessScoreThreshold": "EVENNESS_THRESHOLD",
+    "MinEvennessScore": "MIN_EVENNESS",
+    "LowerCoverageLevelWeightingFactor": "LOWER_COVERAGE_FACTOR",
+    "UpperCoverageLevelWeightingFactor": "UPPER_COVERAGE_FACTOR",
+    "DeviationFactor": "DEVIATION_FACTOR",
+    "DeviationIndexCutoff": "DEVIATION_INDEX_CUTOFF",
+    "PrecisionWeightingFactor": "PRECISION_WEIGHTING_FACTOR",
+    "HeterogeneityWeight": "HETEROGENEITY_WEIGHT",
+    "DistanceRatio": "DISTANCE_RATIO",
+    "MinimumCallSize": "MINIMUM_CALL_SIZE",
+}
+
+
+def load_parameter_file(path, config: "CanvasConfig | None" = None
+                        ) -> "CanvasConfig":
+    """Apply a reference-style JSON parameter file.
+
+    snake_case keys update CanvasConfig fields; PascalCase keys matching
+    SomaticCallerParameters.json update the somatic module constants.
+    Unknown keys raise (typos in tuned parameter files must not be
+    silently ignored)."""
+    import dataclasses
+    import json
+    from pathlib import Path
+
+    from canvas_tpu.models import somatic
+
+    data = json.loads(Path(path).read_text())
+    config = config or CanvasConfig()
+    field_names = {f.name for f in dataclasses.fields(CanvasConfig)}
+    for key, value in data.items():
+        if key in field_names:
+            setattr(config, key, value)
+        elif key in SOMATIC_JSON_FIELDS:
+            setattr(somatic, SOMATIC_JSON_FIELDS[key], value)
+        elif key == "QualityScoreParameters":
+            config.qscore.update(value)
+        else:
+            raise ValueError(f"unknown parameter {key!r} in {path}")
+    return config

@@ -65,6 +65,15 @@ MINIMUM_CALL_SIZE = 10   # SomaticCallerParameters.cs:6
 MAX_RELATED_MODELS = 5
 
 
+class NotEnoughUsableSegmentsException(Exception):
+    """Sample lacks coverage/BAF variation to model purity (:1637, the
+    reference's NotEnoughUsableSegementsException [sic])."""
+
+
+class UncallableDataException(Exception):
+    """Data is present but uncallable (:917, :1936)."""
+
+
 @dataclass
 class SegmentInfo:
     segment: Segment
@@ -536,7 +545,10 @@ def grid_search(
         best_deviation = min(best_deviation, model.deviation)
         all_models.append(model)
     if not all_models:
-        raise RuntimeError("unable to find any viable purity/ploidy model")
+        raise UncallableDataException(
+            "Error with CNV detection - unable to find any viable "
+            "purity/ploidy model.  Check that the sample has reasonable "
+            "coverage (>=10x)")
 
     worst_allowed = best_deviation * DEVIATION_FACTOR
     deviations = sorted(m.deviation for m in all_models)
@@ -1014,7 +1026,7 @@ def call_somatic(
     or Density; assigns copy numbers in place; returns (model, headers)."""
     infos, _ = usable_segments_with_relaxation(segments, is_enrichment)
     if len(infos) < 3:
-        raise RuntimeError(
+        raise NotEnoughUsableSegmentsException(
             "Cannot model coverage/purity with less than 3 segments.")
     # coverage/MAF scaling stats over reference-diploid segments
     cov_list, maf_list = [], []

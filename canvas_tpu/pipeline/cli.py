@@ -24,6 +24,9 @@ def _common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ploidy-vcf", default=None)
     parser.add_argument("--no-resume", action="store_true",
                         help="ignore existing checkpoints")
+    parser.add_argument("--param-file", default=None,
+                        help="JSON parameter file (SomaticCallerParameters/"
+                             "CanvasPartitionParameters shape)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -64,9 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from canvas_tpu.config import CanvasConfig, load_parameter_file
+
+    config = CanvasConfig()
+    if args.param_file:
+        config = load_parameter_file(args.param_file, config)
     ctx = runner.WorkflowContext(
         reference_folder=args.reference, output_dir=args.output,
-        filter_bed=args.filter_bed, resume=not args.no_resume)
+        config=config, filter_bed=args.filter_bed,
+        resume=not args.no_resume)
 
     if args.mode == "Germline-WGS":
         sample = runner.Sample(args.sample_name, args.bam,

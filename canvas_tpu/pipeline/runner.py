@@ -474,6 +474,11 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
         try:
             evenness = metrics.evenness_score(
                 cov, ctx.config.evenness_score_window)
+            # EvennessMetric file, CanvasPartition -> SomaticCaller handoff
+            # (Segmentation.cs:260-268, CanvasRunner.cs:950-960)
+            ctx.checkpointer.path(
+                f"EvennessMetric_{tumor.name}.txt").write_text(
+                    f"{evenness:.4f}\n")
         except Exception:
             pass
     with prof.stage("CanvasPartition", bins=len(work)):
@@ -486,9 +491,20 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
     genome_length = int(np.sum(ctx.contigs.lengths_array))
     ploidy_fn = ploidy.segment_ploidy_fn() if ploidy else None
     with prof.stage("CanvasSomaticCaller", segments=len(segs)):
-        model, headers = somatic_caller.call_somatic(
-            segs, genome_length, evenness_score=evenness,
-            ref_ploidy_fn=ploidy_fn, is_enrichment=is_enrichment)
+        # failure policy (SomaticCaller.cs:404-438): too-few usable
+        # segments -> no CNV calls but a valid VCF; uncallable data is
+        # fatal for the workflow
+        try:
+            model, headers = somatic_caller.call_somatic(
+                segs, genome_length, evenness_score=evenness,
+                ref_ploidy_fn=ploidy_fn, is_enrichment=is_enrichment)
+        except somatic_caller.NotEnoughUsableSegmentsException as e:
+            import logging
+
+            logging.getLogger(__name__).error(
+                "Not calling any CNVs. Reason: %s", e)
+            model = somatic_caller.PurityModel(0.0, 0.0)
+            headers = []
     if local_sd is not None:
         headers.append(f"##LocalSDmetric={local_sd:.2f}")
     qscore.assign_quality_scores(segs, "Logistic", ctx.config.qscore)

@@ -138,3 +138,30 @@ def test_distributed_initialize_single_process():
     data = {"chr1": np.arange(5)}
     out = all_gather_host_data(data)
     assert np.array_equal(out["chr1"], data["chr1"])
+
+
+def test_load_parameter_file(tmp_path):
+    import json
+
+    from canvas_tpu.config import CanvasConfig, load_parameter_file
+    from canvas_tpu.models import somatic
+
+    before = somatic.DEVIATION_FACTOR
+    p = tmp_path / "params.json"
+    p.write_text(json.dumps({
+        "counts_per_bin": 150,
+        "DeviationFactor": 2.25,
+        "QualityScoreParameters": {"LogisticGermlineIntercept": -1.0},
+    }))
+    try:
+        cfg = load_parameter_file(p)
+        assert cfg.counts_per_bin == 150
+        assert somatic.DEVIATION_FACTOR == 2.25
+        assert cfg.qscore["LogisticGermlineIntercept"] == -1.0
+    finally:
+        somatic.DEVIATION_FACTOR = before
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"NotAKey": 1}))
+    with pytest.raises(ValueError):
+        load_parameter_file(bad)
