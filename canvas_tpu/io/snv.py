@@ -239,3 +239,37 @@ def concatenate_frequencies(parts: list[str | Path], out_path: str | Path) -> No
                             wrote_header = True
                         continue
                     out.write(line)
+
+
+def load_somatic_snv_vafs(vcf_path: str | Path) -> np.ndarray:
+    """Somatic SNV variant frequencies from a Strelka-style VCF
+    (EstimatePurityFromSomaticSNVs, SomaticCaller.cs:2679-2728): PASS
+    single-nucleotide records, VF = altTierCounts / (alt + ref) from the
+    AU/CU/GU/TU fields of the LAST genotype column; VF >= 0.5 dropped."""
+    vafs: list[float] = []
+    opener = gzip.open if str(vcf_path).endswith(".gz") else open
+    with opener(str(vcf_path), "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 10 or fields[6] != "PASS":
+                continue
+            ref, alts = fields[3], fields[4].split(",")
+            if len(ref) != 1 or len(alts) != 1 or len(alts[0]) != 1 \
+                    or alts[0] == ".":
+                continue
+            fmt = fields[8].split(":")
+            gcol = dict(zip(fmt, fields[-1].split(":")))
+            ref_tag, alt_tag = f"{ref}U", f"{alts[0]}U"
+            if ref_tag not in gcol or alt_tag not in gcol:
+                continue
+            ref_count = sum(int(x) for x in gcol[ref_tag].split(","))
+            alt_count = sum(int(x) for x in gcol[alt_tag].split(","))
+            total = ref_count + alt_count
+            if total == 0:
+                continue
+            vf = alt_count / total
+            if vf < 0.5:
+                vafs.append(vf)
+    return np.asarray(vafs, dtype=np.float32)

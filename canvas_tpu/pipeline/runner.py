@@ -494,10 +494,13 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
         # failure policy (SomaticCaller.cs:404-438): too-few usable
         # segments -> no CNV calls but a valid VCF; uncallable data is
         # fatal for the workflow
+        vafs = snvio.load_somatic_snv_vafs(somatic_vcf) \
+            if somatic_vcf else None
         try:
             model, headers = somatic_caller.call_somatic(
                 segs, genome_length, evenness_score=evenness,
-                ref_ploidy_fn=ploidy_fn, is_enrichment=is_enrichment)
+                somatic_vafs=vafs, ref_ploidy_fn=ploidy_fn,
+                is_enrichment=is_enrichment)
         except somatic_caller.NotEnoughUsableSegmentsException as e:
             import logging
 

@@ -168,3 +168,30 @@ def test_write_cnd_file(tmp_path):
     assert len(lines) == 1 + len(ratios)          # dropped bin skipped
     assert lines[1].split(",")[0] == "10"
     assert lines[1].split(",")[2] == "chr1"
+
+
+def test_load_somatic_snv_vafs(tmp_path):
+    from canvas_tpu.io.snv import load_somatic_snv_vafs
+
+    vcf = tmp_path / "somatic.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNORMAL\tTUMOR",
+        # PASS SNV: ref A 80 reads, alt C 20 -> VF 0.2 (from the LAST column)
+        "chr1\t100\t.\tA\tC\t.\tPASS\t.\tDP:AU:CU:GU:TU\t"
+        "50:50,0:0,0:0,0:0,0\t100:80,0:20,0:0,0:0,0",
+        # VF 0.5 -> dropped
+        "chr1\t200\t.\tG\tT\t.\tPASS\t.\tDP:AU:CU:GU:TU\t"
+        "50:0,0:0,0:50,0:0,0\t100:0,0:0,0:50,0:50,0",
+        # non-PASS dropped
+        "chr1\t300\t.\tA\tC\t.\tLowQ\t.\tDP:AU:CU:GU:TU\t"
+        "50:50,0:0,0:0,0:0,0\t100:80,0:20,0:0,0:0,0",
+        # indel dropped
+        "chr1\t400\t.\tAT\tC\t.\tPASS\t.\tDP:AU:CU:GU:TU\t"
+        "50:50,0:0,0:0,0:0,0\t100:80,0:20,0:0,0:0,0",
+        # tier-2 counts summed: 10,10 alt over 60,20 ref -> 20/100
+        "chr1\t500\t.\tA\tG\t.\tPASS\t.\tDP:AU:CU:GU:TU\t"
+        "50:50,0:0,0:0,0:0,0\t100:60,20:0,0:10,10:0,0",
+    ]) + "\n")
+    vafs = load_somatic_snv_vafs(vcf)
+    np.testing.assert_allclose(vafs, [0.2, 0.2])
