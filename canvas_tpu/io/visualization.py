@@ -115,3 +115,32 @@ def write_partition_bedgraph(path: str | Path, segments: list[Segment]) -> None:
     with open(path, "w", newline="\n") as f:
         for i, seg in enumerate(segments):
             f.write(f"{seg.chrom}\t{seg.begin}\t{seg.end}\t{i % 2}\n")
+
+
+def bedgraph_to_bigwig(bedgraph_path: str | Path, contigs,
+                       bigwig_path: str | Path) -> bool:
+    """Convert a bedgraph track to bigwig via the external bedGraphToBigWig
+    tool when present (CoverageBigWigWriter delegates to an
+    IBedGraphToBigWigConverter; without the binary the reference uses
+    NullBedGraphToBigWigConverter and skips the conversion).  Returns True
+    when the bigwig was produced."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    tool = shutil.which("bedGraphToBigWig")
+    if tool is None:
+        return False
+    with tempfile.NamedTemporaryFile("w", suffix=".chrom.sizes",
+                                     delete=False) as f:
+        for name, length in zip(contigs.names, contigs.lengths_array):
+            f.write(f"{name}\t{int(length)}\n")
+        sizes = f.name
+    try:
+        subprocess.run([tool, str(bedgraph_path), sizes, str(bigwig_path)],
+                       check=True, capture_output=True)
+        return True
+    except subprocess.CalledProcessError:
+        return False
+    finally:
+        Path(sizes).unlink(missing_ok=True)

@@ -396,6 +396,11 @@ def _write_visualization(ctx, sample_name, segments, diploid_coverage,
         out / f"{sample_name}_CNV.CopyNumber.bedgraph", segments)
     viz.write_ballele_bedgraph(
         out / f"{sample_name}_CNV.BAlleleFrequency.bedgraph", segments)
+    cov_bg = out / f"{sample_name}_CNV.Coverage.bedgraph"
+    viz.write_coverage_bedgraph(cov_bg, segments)
+    # bigwig only when the external converter exists (reference behavior)
+    viz.bedgraph_to_bigwig(cov_bg, ctx.contigs,
+                           out / f"{sample_name}_CNV.Coverage.bw")
 
 
 def run_bin_predefined(ctx: WorkflowContext, sample: Sample,

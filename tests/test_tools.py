@@ -245,3 +245,38 @@ def test_sweep_rejects_unknown_parameter():
 
     with pytest.raises(ValueError):
         opt.sweep({"NotAParam": [1]}, lambda s: None, lambda s, o: 0.0, [1])
+
+
+def test_copy_number_oracle_bed_and_vcf(tmp_path):
+    from canvas_tpu.models.segment_model import Segment
+    from canvas_tpu.tools.copy_number_oracle import CopyNumberOracle
+
+    bed = tmp_path / "truth.bed"
+    bed.write_text("chr1\t1000\t5000\t2\t1\nchr1\t8000\t9000\t1\t0\t0.4\n")
+    orc = CopyNumberOracle(bed)
+
+    seg = Segment("chr1", 1500, 4000, np.zeros(3, np.float32))
+    assert orc.known_cn_for_segment(seg) == 3
+    # naming convention bridged transparently
+    seg2 = Segment("1", 8000, 9000, np.zeros(1, np.float32))
+    assert orc.known_cn_for_segment(seg2) == 1
+    assert orc.known_clonality_for_segment(seg2) == 0.4
+    # <half covered -> unknown
+    seg3 = Segment("chr1", 4500, 12000, np.zeros(1, np.float32))
+    assert orc.known_cn_for_segment(seg3) == -1
+
+    vcf = tmp_path / "truth.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "chr2\t100\t.\tN\t<CNV>\t.\tPASS\tCN=2.5;END=900",
+        "chr2\t2000\t.\tN\t<CNV>\t.\tPASS\tCN=4;END=3000",
+    ]) + "\n")
+    orc2 = CopyNumberOracle(vcf)
+    # CN=2.5 rounds UP to 3 (the +0.1 quirk)
+    assert orc2.known_cn_for_segment(
+        Segment("chr2", 100, 900, np.zeros(1, np.float32))) == 3
+    seg4 = Segment("chr2", 2000, 3000, np.zeros(1, np.float32))
+    seg4.copy_number = 4
+    rep = orc2.accuracy_report([seg4])
+    assert rep["accuracy"] == 1.0
