@@ -318,3 +318,89 @@ def set_filters(
         if s.length < size_cutoff:
             tags.append(cnv_size_filter(size_cutoff))
         s.filter_tags = tags
+
+
+def merge_segments_multisample(
+    segments_by_sample: dict[str, list[Segment]],
+    minimum_call_size: int,
+    q_score_threshold: int,
+    maximum_merge_span: int = 10000,
+) -> dict[str, list[Segment]]:
+    """CanvasPedigreeCaller.MergeSegments (:179-205) + the copyNumbers/
+    qscores variant of CanvasSegment.MergeSegments (:961-1075): segments are
+    position-aligned across samples; merge decisions use the cross-sample
+    CN vectors (all samples must agree) and the across-sample mean q-score
+    (adjacent same-CN-vector segments merge only when both mean q-scores
+    clear the threshold, so merging never flips a PASS filter).  Unlike the
+    somatic variant, the look-back reaches index 0 and accepts q >= 0."""
+    names = list(segments_by_sample)
+    n = len(segments_by_sample[names[0]])
+    copy_numbers = [[segments_by_sample[s][i].copy_number for s in names]
+                    for i in range(n)]
+    qscores = [float(np.mean([segments_by_sample[s][i].qscore
+                              for s in names])) for i in range(n)]
+
+    out: dict[str, list[Segment]] = {}
+    for sample in names:
+        segments = list(segments_by_sample[sample])
+        merged: list[Segment] = []
+        new_cns: list[list[int]] = []
+        new_qs: list[float] = []
+        i = 0
+        while i < len(segments):
+            if segments[i].length >= minimum_call_size:
+                merged.append(segments[i])
+                new_cns.append(copy_numbers[i])
+                new_qs.append(qscores[i])
+                i += 1
+                continue
+            prev_idx, prev_q = -1, -1.0
+            for check in range(i - 1, -1, -1):
+                if segments[check].chrom != segments[i].chrom:
+                    break
+                if segments[check].length < minimum_call_size:
+                    continue
+                if segments[i].begin - segments[check].end \
+                        > maximum_merge_span:
+                    break
+                prev_idx, prev_q = check, qscores[check]
+                break
+            next_idx, next_q = -1, -1.0
+            for check in range(i + 1, len(segments)):
+                if segments[check].chrom != segments[i].chrom:
+                    break
+                if segments[check].length < minimum_call_size:
+                    continue
+                if segments[check].begin - segments[i].end \
+                        > maximum_merge_span:
+                    break
+                next_idx, next_q = check, qscores[check]
+                break
+            if prev_q >= 0 and prev_q >= next_q:
+                segments[prev_idx].merge_in(segments[i])
+                i += 1
+                continue
+            if next_q >= 0:
+                for t in range(next_idx - 1, i - 1, -1):
+                    segments[next_idx].merge_in(segments[t])
+                i = next_idx
+                continue
+            merged.append(segments[i])
+            new_cns.append(copy_numbers[i])
+            new_qs.append(qscores[i])
+            i += 1
+
+        final = [merged[0]]
+        last = 0
+        for j in range(1, len(merged)):
+            if (new_cns[last] == new_cns[j]
+                    and final[-1].chrom == merged[j].chrom
+                    and merged[j].begin - final[-1].end < maximum_merge_span
+                    and new_qs[j] > q_score_threshold
+                    and new_qs[last] > q_score_threshold):
+                final[-1].merge_in(merged[j])
+            else:
+                final.append(merged[j])
+                last = j
+        out[sample] = final
+    return out

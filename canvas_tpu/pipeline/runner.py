@@ -36,7 +36,7 @@ from canvas_tpu.models import pedigree as pedigree_caller
 from canvas_tpu.models import somatic as somatic_caller
 from canvas_tpu.models import qscore
 from canvas_tpu.models.segment_model import (
-    SEGMENT_SIZE_CUTOFF, merge_segments,
+    SEGMENT_SIZE_CUTOFF, merge_segments, merge_segments_multisample,
     merge_segments_using_excluded_intervals, set_filters)
 from canvas_tpu.ops import binning, hmm, metrics, normalize, ratio, wavelets
 from canvas_tpu.ops import segments as segops
@@ -649,6 +649,11 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
                     segments=sum(len(v) for v in segs_by_sample.values())):
         pedigree_caller.call_pedigree(
             segs_by_sample, types, ploidy_fns,
+            ctx.config.quality_filter_threshold)
+        # multisample merge: cross-sample CN vectors + mean q-scores
+        # (CanvasPedigreeCaller.MergeSegments :179-205)
+        segs_by_sample = merge_segments_multisample(
+            segs_by_sample, pedigree_caller.MINIMUM_CALL_SIZE,
             ctx.config.quality_filter_threshold)
     for name, segs in segs_by_sample.items():
         set_filters(segs, ctx.config.quality_filter_threshold,

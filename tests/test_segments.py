@@ -155,3 +155,39 @@ def test_filter_bed_masks_possible(tmp_path):
     assert is_forbidden_interval("chr1", 0, 100, ivals)        # endpoint touch
     assert not is_forbidden_interval("chr1", 201, 499, ivals)
     assert not is_forbidden_interval("chr3", 0, 1000, ivals)
+
+
+def test_merge_segments_multisample_alignment():
+    from canvas_tpu.models.segment_model import (
+        Segment, merge_segments_multisample)
+
+    def seg(begin, end, cn, q):
+        s = Segment("chr1", begin, end,
+                    np.full(max(1, (end - begin) // 1000), 5.0, np.float32))
+        s.copy_number = cn
+        s.qscore = q
+        return s
+
+    # 4 aligned segments; samples agree on CN for the first two only
+    a = [seg(0, 30_000, 2, 40), seg(30_000, 60_000, 2, 35),
+         seg(60_000, 90_000, 3, 30), seg(90_000, 120_000, 2, 30)]
+    b = [seg(0, 30_000, 2, 40), seg(30_000, 60_000, 2, 35),
+         seg(60_000, 90_000, 2, 30), seg(90_000, 120_000, 2, 30)]
+    out = merge_segments_multisample({"s1": a, "s2": b}, 2000, 10)
+    # segments 0+1 merge (same CN vector [2,2]); 2 ([3,2]) and 3 ([2,2])
+    # stay apart because adjacent vectors differ at each junction
+    assert [(s.begin, s.end) for s in out["s1"]] == \
+        [(0, 60_000), (60_000, 90_000), (90_000, 120_000)]
+    assert [(s.begin, s.end) for s in out["s1"]] == \
+        [(s.begin, s.end) for s in out["s2"]]
+    # short segment (below min call size) assimilates into a neighbor in
+    # every sample identically
+    c = [seg(0, 30_000, 2, 40), seg(30_000, 30_500, 4, 1),
+         seg(30_500, 60_000, 3, 10)]
+    d = [seg(0, 30_000, 2, 40), seg(30_000, 30_500, 4, 1),
+         seg(30_500, 60_000, 3, 10)]
+    out = merge_segments_multisample({"s1": c, "s2": d}, 2000, 10)
+    assert [(s.begin, s.end) for s in out["s1"]] == \
+        [(0, 30_500), (30_500, 60_000)]
+    assert [(s.begin, s.end) for s in out["s2"]] == \
+        [(0, 30_500), (30_500, 60_000)]
