@@ -57,6 +57,9 @@ class CanvasConfig:
     pedigree_max_copy_number: int = 5            # PedigreeCallerParameters.json
     denovo_rate: float = 1e-5
     denovo_quality_threshold: int = 20
+    # DefaultCaller (PedigreeCallerParameters.cs:25-27):
+    # VariantCaller | HaplotypeVariantCaller
+    pedigree_caller: str = "VariantCaller"
 
     # Q-score logistic coefficients (QualityScoreParameters.json)
     qscore: dict = field(default_factory=lambda: dict(DEFAULT_QSCORE_PARAMS))

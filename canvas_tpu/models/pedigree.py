@@ -581,3 +581,214 @@ def call_pedigree(
             if others:
                 assign_mcc_no_pedigree({n: segs[n] for n in others}, models)
     return segments_by_sample
+
+
+# ---------------------------------------------------------------------------
+# HaplotypeVariantCaller — the alternative caller selected by the
+# DefaultCaller parameter (HaplotypeVariantCaller.cs)
+# ---------------------------------------------------------------------------
+
+DENOVO_RATE = 1e-5             # PedigreeCallerParameters.json
+_LOG_FLOOR = -1.7976931348623157e308   # double.MinValue floor (:95)
+
+
+def _safe_log(x: float) -> float:
+    return float(np.log(x)) if x > 0 else -np.inf
+
+
+def haplotype_single_sample_log_likelihoods(
+    seg: Segment, stats_: SampleStats, model: CopyNumberModel,
+    n_balleles: int, use_alleles: bool,
+    max_cn: int = MAX_COPY_NUMBER,
+) -> dict[tuple[int, int] | tuple[int], float]:
+    """Per-sample genotype log-likelihoods (HaplotypeVariantCaller.cs:28-113).
+
+    With allele information: phased (A, B) keys, gt log-likelihood scaled by
+    1/nBalleles joined with the log coverage likelihood of the total CN,
+    after the REF-dominance fix that floors both LOH genotypes when REF
+    (1,1) beats them (:60-64).  Without: total-CN keys, plain log coverage
+    likelihood."""
+    cov = single_sample_likelihoods(seg, stats_, model, max_cn)
+    if not use_alleles:
+        return {(cn,): _safe_log(cov[cn]) for cn in range(max_cn)}
+    ll = {(a, b): model.genotype_log_likelihood(
+        seg.baf_count_a, seg.baf_count_b, a, b)
+        for (a, b) in phased_genotypes(max_cn)}
+    if ll[(1, 1)] >= max(ll[(0, 2)], ll[(2, 0)]):
+        finite = [v for v in ll.values() if v > -np.inf]
+        floor = min(finite) if finite else -np.inf
+        ll[(0, 2)] = ll[(2, 0)] = floor
+    return {(a, b): v / max(1, n_balleles)
+            + max(_LOG_FLOOR, _safe_log(cov[a + b]))
+            for (a, b), v in ll.items()}
+
+
+def _transmission_log_prob(p1_key, p2_key, child_key, trans,
+                           denovo_rate: float = DENOVO_RATE) -> float:
+    """EstimateTransmissionProbability (:190-206): with phased genotypes on
+    both parents, 1.0 when the child shares an A-allele count with either
+    parent AND a B-allele count with either parent, else the de novo rate;
+    total-CN genotypes fall back to the Poisson transition product."""
+    if len(p1_key) == 2 and len(p2_key) == 2 and len(child_key) == 2:
+        ca, cb = child_key
+        shared_a = ca in p1_key or ca in p2_key
+        shared_b = cb in p1_key or cb in p2_key
+        return 0.0 if (shared_a and shared_b) else float(np.log(denovo_rate))
+    t1 = trans[sum(p1_key)][sum(child_key)]
+    t2 = trans[sum(p2_key)][sum(child_key)]
+    return _safe_log(t1 * t2)
+
+
+def haplotype_pedigree_joint(
+    parent_lls: list[dict], child_lls: list[dict], trans: np.ndarray,
+    max_cn: int = MAX_COPY_NUMBER,
+    denovo_rate: float = DENOVO_RATE,
+) -> tuple[dict, JointResult]:
+    """GetPedigreeCopyNumbers over genotype dictionaries (:118-185).
+
+    Returns ({'parent1': key, 'parent2': key, 'childN': key}, JointResult)
+    where the JointResult configs are keyed by total CN per sample so the
+    de novo machinery (denovo_quality) applies unchanged."""
+    n_children = len(child_lls)
+    k = 3 if n_children >= 2 else max_cn
+
+    def top(d):
+        return dict(sorted(d.items(), key=lambda kv: -kv[1])[:k])
+
+    p1 = top(parent_lls[0])
+    p2 = top(parent_lls[1])
+    kids = [top(c) for c in child_lls]
+    kid_keys = [list(kd.keys()) for kd in kids]
+    combos = list(_product(*kid_keys)) if n_children else [()]
+    if len(combos) > MAX_NUM_OFFSPRING_GENOTYPES:
+        rng = np.random.default_rng(0)
+        idx = rng.permutation(len(combos))[:MAX_NUM_OFFSPRING_GENOTYPES]
+        combos = [combos[i] for i in sorted(idx)]
+
+    result = JointResult({}, -np.inf, 0.0)
+    best = None
+    for g1, l1 in p1.items():
+        for g2, l2 in p2.items():
+            for geno in combos:
+                ll = l1 + l2
+                for c, gc in enumerate(geno):
+                    ll += kids[c][gc]
+                    ll += _transmission_log_prob(g1, g2, gc, trans,
+                                                 denovo_rate)
+                if not np.isfinite(ll):
+                    ll = -np.inf
+                lik = float(np.exp(ll)) if np.isfinite(ll) else 0.0
+                key = (min(sum(g1), max_cn - 1), min(sum(g2), max_cn - 1)) \
+                    + tuple(min(sum(g), max_cn - 1) for g in geno)
+                result.configs[key] = result.configs.get(key, 0.0) + lik
+                result.total_marginal += lik
+                if ll > result.maximal_log_likelihood:
+                    result.maximal_log_likelihood = ll
+                    best = {"parent1": g1, "parent2": g2,
+                            **{f"child{c}": geno[c]
+                               for c in range(n_children)}}
+    if best is None:
+        raise RuntimeError("Maximal likelihood was not found")
+    return best, result
+
+
+def haplotype_single_sample_qscore(lls: dict, selected, 
+                                   max_qscore: float = MAX_QSCORE) -> float:
+    """GetSingleSampleQualityScore over genotype log-likelihoods
+    (:288-299): posterior mass of all genotypes sharing the selected
+    total CN."""
+    total = sum(selected)
+    vals = np.array(list(lls.values()))
+    m = vals.max()
+    z = float(np.sum(np.exp(vals - m)))
+    alt = float(sum(np.exp(v - m) for g, v in lls.items()
+                    if sum(g) == total))
+    with np.errstate(divide="ignore"):
+        q = -10.0 * np.log10((z - alt) / z)
+    if not np.isfinite(q) or q > max_qscore:
+        q = max_qscore
+    return float(q)
+
+
+def call_pedigree_haplotype(
+    segments_by_sample: dict[str, list[Segment]],
+    sample_types: dict[str, str],
+    ploidy_fns: dict[str, object] | None = None,
+    quality_threshold: int = 10,
+    max_cn: int = MAX_COPY_NUMBER,
+) -> dict[str, list[Segment]]:
+    """HaplotypeVariantCaller.CallVariant over all segments (:27-58)."""
+    ploidy_fns = ploidy_fns or {}
+    names = list(segments_by_sample.keys())
+    parents = [n for n in names if sample_types[n] in ("Father", "Mother")]
+    offspring = [n for n in names
+                 if sample_types[n] in ("Proband", "Sibling")]
+    full_pedigree = (
+        sum(1 for n in names if sample_types[n] == "Father") == 1
+        and sum(1 for n in names if sample_types[n] == "Mother") == 1
+        and sum(1 for n in names if sample_types[n] == "Proband") == 1)
+    others = [n for n in names if sample_types[n] == "Other"] \
+        if full_pedigree else names
+    if not full_pedigree:
+        parents, offspring = [], []
+
+    stats_by_sample = {
+        n: SampleStats.from_segments(segments_by_sample[n],
+                                     ploidy_fns.get(n)) for n in names}
+    models = {
+        n: CopyNumberModel(max_cn, stats_by_sample[n].max_coverage,
+                           stats_by_sample[n].mean_coverage,
+                           stats_by_sample[n].mean_maf_coverage)
+        for n in names}
+    trans = transition_matrix(max_cn)
+    n_segments = len(next(iter(segments_by_sample.values())))
+
+    for i in range(n_segments):
+        segs = {n: segments_by_sample[n][i] for n in names}
+        use_alleles = use_allele_counts(segs)
+        n_balleles = len(segs[names[0]].baf_frequencies)
+        lls = {n: haplotype_single_sample_log_likelihoods(
+            segs[n], stats_by_sample[n], models[n], n_balleles,
+            use_alleles, max_cn) for n in names}
+
+        chosen: dict[str, tuple] = {}
+        result = None
+        if full_pedigree:
+            best, result = haplotype_pedigree_joint(
+                [lls[parents[0]], lls[parents[1]]],
+                [lls[c] for c in offspring], trans, max_cn)
+            chosen[parents[0]] = best["parent1"]
+            chosen[parents[1]] = best["parent2"]
+            for c_idx, c in enumerate(offspring):
+                chosen[c] = best[f"child{c_idx}"]
+        for n in others:
+            chosen[n] = max(lls[n], key=lls[n].get)
+
+        for n in names:
+            g = chosen[n]
+            segs[n].copy_number = min(sum(g), max_cn - 1)
+            segs[n].qscore = haplotype_single_sample_qscore(lls[n], g)
+            if len(g) == 2:
+                segs[n].major_chromosome_count = max(g)
+            if segs[n].qscore < quality_threshold:
+                segs[n].filter_tags = [f"q{quality_threshold}"]
+
+        if full_pedigree and result is not None:
+            ploidies = {n: stats_by_sample[n].get_ploidy(segs[n])
+                        for n in names}
+            cns = {n: segs[n].copy_number for n in names}
+            for c_idx, proband in enumerate(offspring):
+                if cns[proband] == ploidies[proband]:
+                    continue
+                if is_shared_cnv(cns, ploidies, parents, proband, max_cn):
+                    continue
+                sibs = [o for o in offspring if o != proband]
+                if not all(cns[s] == ploidies[s] for s in sibs):
+                    continue
+                if any(segs[n].qscore <= quality_threshold
+                       for n in parents + [proband]):
+                    continue
+                segs[proband].dq_score = denovo_quality(
+                    result, c_idx, cns[proband], ploidies[proband],
+                    ploidies[parents[0]], ploidies[parents[1]])
+    return segments_by_sample

@@ -647,9 +647,11 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
     ploidy_fns = {n: p.segment_ploidy_fn() for n, p in ploidies.items() if p}
     with prof.stage("CanvasPedigreeCaller",
                     segments=sum(len(v) for v in segs_by_sample.values())):
-        pedigree_caller.call_pedigree(
-            segs_by_sample, types, ploidy_fns,
-            ctx.config.quality_filter_threshold)
+        call_fn = (pedigree_caller.call_pedigree_haplotype
+                   if ctx.config.pedigree_caller == "HaplotypeVariantCaller"
+                   else pedigree_caller.call_pedigree)
+        call_fn(segs_by_sample, types, ploidy_fns,
+                ctx.config.quality_filter_threshold)
         # multisample merge: cross-sample CN vectors + mean q-scores
         # (CanvasPedigreeCaller.MergeSegments :179-205)
         segs_by_sample = merge_segments_multisample(

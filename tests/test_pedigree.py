@@ -129,3 +129,49 @@ def test_call_pedigree_no_pedigree_mode(rng):
     out = ped.call_pedigree(segs, types)
     assert [s.copy_number for s in out["s1"]] == [2, 2, 2]
     assert [s.copy_number for s in out["s2"]] == [2, 3, 2]
+
+
+def test_haplotype_caller_trio(rng):
+    """HaplotypeVariantCaller path: same trio plan as the default caller."""
+    base = 100.0
+    segs = {}
+    types = {"father": "Father", "mother": "Mother", "proband": "Proband"}
+    for name in types:
+        segs[name] = [
+            make_segment("chr1", 0, 100000, base, rng=rng),
+            make_segment("chr1", 100000, 200000,
+                         base * 1.5 if name in ("father", "proband") else base,
+                         rng=rng,
+                         maf=0.33 if name in ("father", "proband") else 0.5),
+            # the haplotype caller gates de novo transitions at 1e-5, so the
+            # deletion needs decisive coverage + allele evidence
+            make_segment("chr1", 200000, 300000,
+                         base * 0.35 if name == "proband" else base,
+                         rng=rng, maf=0.01 if name == "proband" else 0.5,
+                         depth=150),
+        ]
+    # threshold 5: parent q-scores sit near 10 (the (1,2)/(2,1) confusion
+    # is diluted by the 1/nBalleles scaling) and the de novo gate requires
+    # every pedigree member to clear it
+    out = ped.call_pedigree_haplotype(segs, types, quality_threshold=5)
+    assert all(out[n][0].copy_number == 2 for n in types)
+    assert out["father"][1].copy_number == 3
+    assert out["proband"][1].copy_number == 3
+    # phased genotype assignment gives an MCC directly
+    assert out["father"][1].major_chromosome_count == 2
+    assert out["proband"][2].copy_number == 1
+    assert out["mother"][2].copy_number == 2
+    assert out["proband"][2].dq_score is not None
+
+
+def test_haplotype_loh_detection(rng):
+    """Copy-neutral LOH: CN2 coverage with extreme MAF -> (0,2) genotype."""
+    types = {"s": "Other"}
+    segs = {"s": [make_segment("chr1", 0, 100000, 100.0, rng=rng),
+                  make_segment("chr1", 100000, 200000, 100.0, rng=rng,
+                               maf=0.02)]}
+    out = ped.call_pedigree_haplotype(segs, types)
+    assert out["s"][0].copy_number == 2
+    assert out["s"][0].major_chromosome_count == 1
+    assert out["s"][1].copy_number == 2
+    assert out["s"][1].major_chromosome_count == 2   # LOH (0,2)
