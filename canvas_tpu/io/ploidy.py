@@ -128,3 +128,26 @@ def write_ploidy_vcf(path: str | Path, sample_name: str,
         for iv in intervals:
             f.write(f"{iv.chromosome}\t{iv.start}\t.\tN\t<CNV>\t.\tPASS\t"
                     f"END={iv.end}\tCN\t{iv.ploidy}\n")
+
+
+def ploidy_vcf_from_karyotype(path: str | Path, sample_name: str,
+                              contigs, karyotype: str) -> None:
+    """Sex-karyotype ploidy VCF (Canvas.Wrapper CanvasPloidyVcfCreator +
+    Isas PloidyCorrector): whole-allosome CN records from an XX/XY/X/XYY...
+    karyotype string; autosomes stay implicit diploid."""
+    k = karyotype.upper()
+    n_x = k.count("X")
+    n_y = k.count("Y")
+    intervals = []
+    for name in contigs.names:
+        plain = name.replace("chr", "")
+        if plain == "X" and n_x != 2:
+            intervals.append(PloidyInterval(name, 1, contigs.length(name),
+                                            n_x))
+        elif plain == "Y" and n_y != 0:
+            intervals.append(PloidyInterval(name, 1, contigs.length(name),
+                                            n_y))
+        elif plain == "Y" and n_y == 0:
+            intervals.append(PloidyInterval(name, 1, contigs.length(name),
+                                            0))
+    write_ploidy_vcf(path, sample_name, intervals)

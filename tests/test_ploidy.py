@@ -44,3 +44,22 @@ def test_breaks_for_contig():
     breaks = info.breaks_for_contig("chrX")
     assert 2_000_001 in breaks or 2_000_001 in breaks + 0
     assert len(info.breaks_for_contig("chr1")) == 0
+
+
+def test_ploidy_vcf_from_karyotype(tmp_path):
+    from canvas_tpu.genome.contigs import ContigTable
+    from canvas_tpu.io.ploidy import (load_ploidy_vcf,
+                                      ploidy_vcf_from_karyotype)
+
+    ct = ContigTable(["chr1", "chrX", "chrY"], [1000, 800, 600])
+    p = tmp_path / "ploidy.vcf"
+    ploidy_vcf_from_karyotype(p, "s1", ct, "XY")
+    info = load_ploidy_vcf(p)
+    assert info.reference_copy_number("chrX", 0, 800) == 1
+    assert info.reference_copy_number("chrY", 0, 600) == 1
+    assert info.reference_copy_number("chr1", 0, 1000) == 2
+
+    ploidy_vcf_from_karyotype(p, "s1", ct, "XX")
+    info = load_ploidy_vcf(p)
+    assert info.reference_copy_number("chrX", 0, 800) == 2
+    assert info.reference_copy_number("chrY", 0, 600) == 0
