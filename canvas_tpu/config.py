@@ -35,6 +35,21 @@ class CanvasConfig:
     counts_per_bin: int = 100
     # Coverage mode cap (TruncatedDynamicRange; CanvasBin.cs:618-625)
     truncated_dynamic_range_cap: int = 10
+    # CanvasBin -m/--mode (Utilities.ParseCanvasCoverageMode)
+    coverage_mode: str = "TruncatedDynamicRange"
+    # CanvasBin -z/--binsize: fixed bin size overriding the rate estimate
+    fixed_bin_size: int | None = None
+
+    # CanvasClean -m/--mode (MedianByGC | LOESS) and -w/--weightedmedian
+    gc_norm_mode: str = "MedianByGC"
+    min_bins_per_gc_weighted_median: int = 100
+
+    # CanvasPartition -m/--method override (None = per-mode default)
+    partition_method: str | None = None
+
+    # CanvasSomaticCaller training mode: any modeling exception produces an
+    # empty-but-valid VCF instead of failing (SomaticCaller.cs:409-422)
+    somatic_training_mode: bool = False
 
     # CanvasPartition (CanvasPartitionParameters.json)
     max_inter_bin_dist_in_segment: int = 1000000

@@ -187,6 +187,10 @@ def bin_sample(
                 capped = np.minimum(obs, TRUNCATED_CAP)
             elif mode == "GCContentWeighted":
                 capped = np.minimum(TRUNCATED_CAP, obs / t["gc_weights"])
+            elif mode == "Binary":
+                # Binary: each possible position contributes 0/1
+                # (CanvasBin.cs coverage-mode caps :618-636)
+                capped = np.minimum(obs, 1.0)
             else:
                 capped = obs
             total = int(np.count_nonzero(possible[t["offset"]:]))

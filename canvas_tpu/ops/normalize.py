@@ -172,18 +172,20 @@ def _split_by_gc(gcs: np.ndarray, counts: np.ndarray) -> list[np.ndarray]:
     return [counts[gcs == g] for g in range(N_GC_BINS)]
 
 
-def normalize_by_gc_median(bins: BinSet) -> BinSet:
+def normalize_by_gc_median(bins: BinSet,
+                           min_bins: int = MIN_BINS_PER_GC) -> BinSet:
     """MedianByGC: count *= globalMedian / medianOfSameGC
-    (CanvasClean.cs:163-196).  Medians over autosomal bins only."""
+    (CanvasClean.cs:163-196).  Medians over autosomal bins only; min_bins
+    is CanvasClean's -w/--weightedmedian threshold."""
     gcs, counts = _autosome_counts_by_gc(bins)
     by_gc = _split_by_gc(gcs, counts)
     global_median = stats.median(counts.astype(np.float32))
     medians = np.full(N_GC_BINS, np.nan)
     for g in range(N_GC_BINS):
-        if len(by_gc[g]) >= MIN_BINS_PER_GC:
+        if len(by_gc[g]) >= min_bins:
             medians[g] = stats.median(by_gc[g].astype(np.float32))
         else:
-            v, w = _weighted_counts_for_gc(by_gc, g)
+            v, w = _weighted_counts_for_gc(by_gc, g, min_count=min_bins)
             if len(v):
                 medians[g] = stats.weighted_median(v, w)
     med_of_bin = medians[np.asarray(bins.gc, dtype=np.int64)]
@@ -373,6 +375,7 @@ def clean(
     do_gc_norm: bool = True,
     mode: str = "MedianByGC",
     compute_local_sd: bool = False,
+    min_bins_per_gc: int = MIN_BINS_PER_GC,
 ) -> tuple[BinSet, float | None]:
     """CanvasClean.Main pipeline (CanvasClean.cs:415-533).
     Returns (cleaned bins, localSd metric or None)."""
@@ -390,13 +393,15 @@ def clean(
         if len(stripped) > 0:
             bins = stripped
             if mode == "MedianByGC":
-                bins = normalize_by_gc_median(bins)
+                bins = normalize_by_gc_median(bins, min_bins=min_bins_per_gc)
             else:
                 bins = normalize_by_gc_loess(bins)
             if local_sd is not None and len(bins) > 500000:
                 bins, applied = normalize_variance_by_gc(bins)
                 if applied:
-                    bins = (normalize_by_gc_median(bins) if mode == "MedianByGC"
+                    bins = (normalize_by_gc_median(bins,
+                                                   min_bins=min_bins_per_gc)
+                            if mode == "MedianByGC"
                             else normalize_by_gc_loess(bins))
     if local_sd is not None and dev is not None:
         # deviations were computed pre-GC-norm on the then-current bins; the

@@ -27,6 +27,11 @@ def _common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--param-file", default=None,
                         help="JSON parameter file (SomaticCallerParameters/"
                              "CanvasPartitionParameters shape)")
+    parser.add_argument("--custom-parameters", action="append", default=[],
+                        metavar="TOOL,FLAGS",
+                        help="per-stage flag overrides, e.g. "
+                             "'CanvasBin,-m Fragment' (repeatable; the "
+                             "reference's --custom-parameters)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -51,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--somatic-vcf", default=None)
         s.add_argument("--manifest", default=None,
                        help="Nextera manifest / target BED (enrichment modes)")
+        s.add_argument("--training-mode", action="store_true",
+                       help="somatic model training: exceptions produce an "
+                            "empty VCF instead of failing")
         _common(s)
 
     sp = sub.add_parser("SmallPedigree-WGS")
@@ -72,6 +80,14 @@ def main(argv=None) -> int:
     config = CanvasConfig()
     if args.param_file:
         config = load_parameter_file(args.param_file, config)
+    if args.custom_parameters:
+        from canvas_tpu.pipeline import custom_params
+
+        custom_params.apply_custom_parameters(
+            config, custom_params.parse_custom_parameters(
+                args.custom_parameters))
+    if getattr(args, "training_mode", False):
+        config.somatic_training_mode = True
     ctx = runner.WorkflowContext(
         reference_folder=args.reference, output_dir=args.output,
         config=config, filter_bed=args.filter_bed,

@@ -170,14 +170,16 @@ def run_bin(ctx: WorkflowContext, sample: Sample,
 
     def produce():
         obs = observed if observed is not None else ingest_observed(ctx, sample)
-        bs = bin_size or binning.bin_size_from_rates(
-            ctx.config.counts_per_bin, autosome_rates(ctx, obs))
+        bs = bin_size or ctx.config.fixed_bin_size or \
+            binning.bin_size_from_rates(
+                ctx.config.counts_per_bin, autosome_rates(ctx, obs))
         tracks = {c: dict(possible=ctx.tracks[c]["possible"],
                           observed=obs[c],
                           is_gc=ctx.tracks[c]["is_gc"],
                           offset=ctx.tracks[c]["offset"])
                   for c in ctx.canonical}
-        per_contig = binning.bin_sample(tracks, bs)
+        per_contig = binning.bin_sample(tracks, bs,
+                                        mode=ctx.config.coverage_mode)
         cid, st, en, gc, cnt = [], [], [], [], []
         for i, cname in enumerate(ctx.contigs.names):
             if cname not in per_contig:
@@ -204,7 +206,9 @@ def run_clean(ctx: WorkflowContext, sample: Sample, bins: BinSet,
 
     def produce():
         cleaned, local_sd = normalize.clean(
-            bins, compute_local_sd=compute_local_sd)
+            bins, compute_local_sd=compute_local_sd,
+            mode=ctx.config.gc_norm_mode,
+            min_bins_per_gc=ctx.config.min_bins_per_gc_weighted_median)
         return cleaned, local_sd
 
     if ckpt.done(name):
@@ -363,7 +367,8 @@ def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
     with prof.stage("CanvasSNV"):
         vf = run_snv(ctx, sample, is_somatic=False)
     with prof.stage("CanvasPartition", bins=len(cleaned)):
-        parts = run_partition(ctx, {sample.name: cleaned}, "Wavelets",
+        parts = run_partition(ctx, {sample.name: cleaned},
+                              ctx.config.partition_method or "Wavelets",
                               is_germline=True, ploidy=ploidy)
     segs_by_contig = parts[sample.name]
     attach_alleles(ctx, sample, segs_by_contig, vf)
@@ -487,9 +492,11 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
         except Exception:
             pass
     with prof.stage("CanvasPartition", bins=len(work)):
-        parts = run_partition(ctx, {tumor.name: work},
-                              "CBS" if is_enrichment else "Wavelets",
-                              is_germline=False, ploidy=ploidy)
+        parts = run_partition(
+            ctx, {tumor.name: work},
+            ctx.config.partition_method
+            or ("CBS" if is_enrichment else "Wavelets"),
+            is_germline=False, ploidy=ploidy)
     segs_by_contig = parts[tumor.name]
     attach_alleles(ctx, tumor, segs_by_contig, vf)
     segs = _flatten(segs_by_contig, ctx.contigs)
@@ -506,13 +513,28 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
                 segs, genome_length, evenness_score=evenness,
                 somatic_vafs=vafs, ref_ploidy_fn=ploidy_fn,
                 is_enrichment=is_enrichment)
-        except somatic_caller.NotEnoughUsableSegmentsException as e:
+        except Exception as e:
             import logging
 
-            logging.getLogger(__name__).error(
-                "Not calling any CNVs. Reason: %s", e)
-            model = somatic_caller.PurityModel(0.0, 0.0)
-            headers = []
+            log = logging.getLogger(__name__)
+            if ctx.config.somatic_training_mode:
+                # training mode (SomaticCaller.cs:409-422): a parameter
+                # trial outside the testable range must terminate normally
+                # with an EMPTY vcf so the sweep penalizes it
+                log.warning("Training mode: not calling any CNVs. "
+                            "Reason: %s", e)
+                segs = []
+                model = somatic_caller.PurityModel(0.0, 0.0)
+                headers = []
+            elif isinstance(
+                    e, somatic_caller.NotEnoughUsableSegmentsException):
+                log.error("Not calling any CNVs. Reason: %s", e)
+                model = somatic_caller.PurityModel(0.0, 0.0)
+                headers = []
+            else:
+                # UncallableDataException and the rest are fatal for the
+                # workflow in production (SomaticCaller.cs:423-438)
+                raise
     if local_sd is not None:
         headers.append(f"##LocalSDmetric={local_sd:.2f}")
     qscore.assign_quality_scores(segs, "Logistic", ctx.config.qscore)
@@ -633,7 +655,9 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
         cleaned = intersect_bins(cleaned)
     with prof.stage("CanvasPartition",
                     bins=sum(len(b) for b in cleaned.values())):
-        parts = run_partition(ctx, cleaned, "PerSampleHMM", is_germline=True)
+        parts = run_partition(ctx, cleaned,
+                              ctx.config.partition_method or "PerSampleHMM",
+                              is_germline=True)
         if common_cnvs_bed:
             parts = _apply_common_cnvs(ctx, samples, parts, common_cnvs_bed)
     segs_by_sample: dict[str, list] = {}

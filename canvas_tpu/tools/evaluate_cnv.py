@@ -63,19 +63,69 @@ class CnvCall:
         return self.alt_allele not in (".",) and self.cn != self.ref_ploidy
 
 
-def load_truth_bed(path: str | Path) -> dict[str, list[TruthInterval]]:
-    """Truth set: chr<TAB>start<TAB>end<TAB>cn (bed-style, 0-based)."""
+def load_truth_bed(
+    path: str | Path,
+    heterogeneity_fraction: float = 1.0,
+) -> dict[str, list[TruthInterval]]:
+    """Truth set bed (CNVChecker.LoadIntervalsFromBed, CNVChecker.cs:133-169).
+
+    Two layouts: 4-column chr/start/end/cn, or the reference's allele-pair
+    layout chr/start/end/cnA/cnB[/hetFraction] where CN = cnA + cnB and,
+    with --het < 1, heterogeneous-normal rows (alleles 1/1 with
+    hetFraction < the option) are dropped (CNVChecker.cs:157-160)."""
     out: dict[str, list[TruthInterval]] = {}
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(str(path), "rt") as f:
         for line in f:
             if not line.strip() or line.startswith(("#", "track")):
                 continue
-            fields = line.rstrip("\n").split("\t")
-            iv = TruthInterval(fields[0], int(fields[1]), int(fields[2]),
-                               int(fields[3]))
+            fields = line.rstrip("\t\n").split("\t")
+            if len(fields) < 4:
+                continue
+            cn_a = int(fields[3])
+            if len(fields) >= 5 and fields[4].lstrip("-").isdigit():
+                cn_b = int(fields[4])
+                if (heterogeneity_fraction < 1 and len(fields) > 5
+                        and cn_a == 1 and cn_b == 1
+                        and heterogeneity_fraction > float(fields[5])):
+                    continue
+                cn = cn_a + cn_b
+            else:
+                cn = cn_a
+            iv = TruthInterval(fields[0], int(fields[1]), int(fields[2]), cn)
             out.setdefault(iv.chromosome, []).append(iv)
     return out
+
+
+def sex_ploidy_fn(ploidy_x: int, ploidy_y: int,
+                  par_bed: str | Path | None = None):
+    """ploidy_fn(chrom, start, end) from allosome ploidies + X PAR regions
+    (the reference's --ploidy-x/--ploidy-y/--par-bed triple; chrY PAR is
+    assumed N-masked in the reference genome, Program.cs:77-79).  Majority
+    ploidy over the span, PAR regions on X staying diploid."""
+    from canvas_tpu.io.ploidy import PloidyInfo, PloidyInterval
+
+    par: list[tuple[int, int]] = []
+    if par_bed is not None:
+        for chrom, ivs in load_exclude_bed(par_bed).items():
+            if chrom.replace("chr", "") == "X":
+                par.extend(ivs)
+    par.sort()
+    info = PloidyInfo()
+    big = 2 ** 31 - 1
+    for x_name in ("chrX", "X"):
+        pos = 1
+        ivs = []
+        for p_start, p_end in par:   # bed 0-based -> 1-based intervals
+            if p_start + 1 > pos:
+                ivs.append(PloidyInterval(x_name, pos, p_start, ploidy_x))
+            pos = p_end + 1
+        ivs.append(PloidyInterval(x_name, pos, big, ploidy_x))
+        info.by_chromosome[x_name] = ivs
+    for y_name in ("chrY", "Y"):
+        info.by_chromosome[y_name] = [
+            PloidyInterval(y_name, 1, big, ploidy_y)]
+    return info.reference_copy_number
 
 
 def load_exclude_bed(path: str | Path) -> dict[str, list[tuple[int, int]]]:
@@ -428,16 +478,26 @@ def evaluate(
     roi_path: str | Path | None = None,
     kmer_fa: str | Path | None = None,
     return_counter: bool = False,
+    min_entry_size: int = 0,
+    heterogeneity_fraction: float = 1.0,
+    skip_diploid: bool = False,
 ):
     """End-to-end evaluation (CNVChecker.Evaluate equivalent).
 
     ploidy_fn(chrom, start, end) -> reference ploidy; when given it also
     pre-sets truth-interval reference CNs (the reference's --ploidy-x/-y
     options), which is required when the DQ filter leaves truth intervals
-    without any overlapping call."""
-    truth = load_truth_bed(truth_path)
+    without any overlapping call.  min_entry_size drops truth AND query
+    entries spanning fewer bases (CNVChecker.cs:478-482, default 10000 in
+    the reference CLI)."""
+    truth = load_truth_bed(truth_path, heterogeneity_fraction)
     calls = load_cnv_calls(vcf_path, sample_index=sample_index,
                            ploidy_fn=ploidy_fn, dq_threshold=dq_threshold)
+    if min_entry_size > 0:
+        truth = {c: [iv for iv in ivs if iv.length >= min_entry_size]
+                 for c, ivs in truth.items()}
+        calls = {c: [cl for cl in cls if cl.length >= min_entry_size]
+                 for c, cls in calls.items()}
     if ploidy_fn is not None:
         for intervals in truth.values():
             for iv in intervals:
@@ -449,11 +509,65 @@ def evaluate(
     mappable = load_mappability(kmer_fa, truth.keys()) if kmer_fa else None
     counter = BaseCounter(min_size, max_size, has_roi=roi is not None)
     count_bases(truth, calls, counter, exclude, passing_only,
-                roi=roi, mappable=mappable)
+                skip_diploid=skip_diploid, roi=roi, mappable=mappable)
     metrics = calculate_metrics(counter)
     if return_counter:
         return metrics, counter
     return metrics
+
+
+def compute_callability(
+    calls: dict[str, list[CnvCall]],
+    filter_bed: str | Path,
+    contig_lengths: dict[str, int],
+    exclude_chr_y: bool = False,
+) -> tuple[int, int]:
+    """Callability = PASS-called bases / non-filtered genome bases
+    (CallabilityMetricsComputer + CallabilityCalculator).  Included
+    intervals are the complement of the filter bed over each contig;
+    chrY is dropped for female samples (--ploidy-y 0)."""
+    filt = load_exclude_bed(filter_bed)
+    total = called = 0
+    for contig, length in contig_lengths.items():
+        if exclude_chr_y and contig.replace("chr", "") == "Y":
+            continue
+        included: list[tuple[int, int]] = []
+        pos = 0
+        for f_start, f_end in sorted(filt.get(contig, [])):
+            if f_start > pos:
+                included.append((pos, f_start))
+            pos = max(pos, f_end)
+        if pos < length:
+            included.append((pos, length))
+        total += sum(e - s for s, e in included)
+        # merge PASS call intervals, then sweep both sorted lists
+        merged: list[list[int]] = []
+        for c_start, c_end in sorted((c.start, c.end)
+                                     for c in calls.get(contig, [])
+                                     if c.pass_filter):
+            if merged and c_start <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], c_end)
+            else:
+                merged.append([c_start, c_end])
+        i = j = 0
+        while i < len(merged) and j < len(included):
+            o = (min(merged[i][1], included[j][1])
+                 - max(merged[i][0], included[j][0]))
+            if o > 0:
+                called += o
+            if merged[i][1] < included[j][1]:
+                i += 1
+            else:
+                j += 1
+    return called, total
+
+
+def format_callability(called: int, total: int) -> str:
+    """CallabilityMetric.GetMetrics as the reference's tab-separated lines."""
+    pct = 100.0 * called / total if total else float("nan")
+    return (f"Total base positions\t{total}\n"
+            f"Called base positions\t{called}\n"
+            f"Percent callability\t{pct:.4f}\n")
 
 
 def format_report(metrics: Metrics, counter: BaseCounter | None = None,
@@ -512,12 +626,43 @@ def main(argv=None) -> int:
     p.add_argument("--roi-bed", default=None,
                    help="regions of interest for ROI accuracy metrics")
     p.add_argument("--kmer-fa", default=None,
-                   help="kmer.fa for skipping >=80%% unmappable truth CNVs")
+                   help="kmer.fa for skipping >=80%% unmappable truth CNVs "
+                        "and for callability")
     p.add_argument("--sample-index", type=int, default=0)
     p.add_argument("--ploidy", type=int, default=None,
                    help="uniform reference ploidy override")
+    p.add_argument("--ploidy-x", type=int, default=None,
+                   help="reference ploidy for chromosome X")
+    p.add_argument("--ploidy-y", type=int, default=None,
+                   help="reference ploidy for chromosome Y")
+    p.add_argument("--par-bed", default=None,
+                   help="bed of chrX PAR regions (stay diploid); chrY PAR "
+                        "assumed N-masked")
+    p.add_argument("-f", "--base-name", default="EvaluateCNVResults",
+                   help="base output file name (without extension)")
+    p.add_argument("--het", type=float, default=1.0, dest="het",
+                   help="HeterogeneityFraction: drop 1/1 truth rows whose "
+                        "het fraction column is below this")
+    p.add_argument("-d", "--skip-diploid", action="store_true",
+                   help="skip diploid (REF) calls")
+    p.add_argument("--min-size", type=int, default=10000,
+                   help="minimum truth/query entry size (reference default "
+                        "10000)")
+    p.add_argument("--filter-bed", default=None,
+                   help="filter bed for the callability metric (the "
+                        "reference uses filter13.bed next to kmer.fa)")
     args = p.parse_args(argv)
+    # `EvaluateCNV truth vcf outdir`: a third positional that is not an
+    # existing bed file is the output directory, not the excluded bed
+    if args.output_dir is None and args.excluded is not None \
+            and not _Path(args.excluded).is_file():
+        args.output_dir, args.excluded = args.excluded, None
     ploidy_fn = (lambda c, s, e: args.ploidy) if args.ploidy else None
+    if args.ploidy_x is not None or args.ploidy_y is not None:
+        ploidy_fn = sex_ploidy_fn(
+            args.ploidy_x if args.ploidy_x is not None else 2,
+            args.ploidy_y if args.ploidy_y is not None else 0,
+            args.par_bed)
 
     size_bins = [(0, 2 ** 31 - 1)]
     if args.split_by_size:
@@ -535,11 +680,13 @@ def main(argv=None) -> int:
                 ploidy_fn=ploidy_fn, sample_index=args.sample_index,
                 min_size=min_size, max_size=max_size,
                 roi_path=args.roi_bed, kmer_fa=args.kmer_fa,
-                return_counter=True)
+                return_counter=True, min_entry_size=args.min_size,
+                heterogeneity_fraction=args.het,
+                skip_diploid=args.skip_diploid)
             report_parts.append(
                 format_report(m, counter, passing_only=passing))
         report = "\n".join(report_parts) + "\n"
-        name = "EvaluateCNVResults"
+        name = args.base_name
         if args.dq_threshold is not None:
             name += "_denovo"
         if min_size != 0 or max_size != 2 ** 31 - 1:
@@ -552,6 +699,25 @@ def main(argv=None) -> int:
             sys.stdout.write(report)
         else:
             sys.stdout.write(f"== {name} ==\n" + report)
+
+    filter_bed = args.filter_bed
+    if filter_bed is None and args.kmer_fa:
+        cand = _Path(args.kmer_fa).parent / "filter13.bed"
+        if cand.exists():
+            filter_bed = str(cand)
+    if filter_bed and args.kmer_fa:
+        from canvas_tpu.genome.reference import read_fasta
+
+        lengths = {c: len(a) for c, a in read_fasta(args.kmer_fa).items()}
+        calls = load_cnv_calls(args.cnv_vcf, sample_index=args.sample_index,
+                               ploidy_fn=ploidy_fn,
+                               dq_threshold=args.dq_threshold)
+        called, total = compute_callability(
+            calls, filter_bed, lengths, exclude_chr_y=(args.ploidy_y == 0))
+        text = format_callability(called, total)
+        if out is not None:
+            (out / f"{args.base_name}_callability.txt").write_text(text)
+        sys.stdout.write(text)
     return 0
 
 

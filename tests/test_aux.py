@@ -93,7 +93,7 @@ def test_evaluate_cnv_cli(tmp_path, capsys):
     excl = tmp_path / "excluded.bed"
     excl.write_text("")
     from canvas_tpu.tools.evaluate_cnv import main
-    rc = main([str(truth), str(vcf), "--ploidy", "2",
+    rc = main([str(truth), str(vcf), "--ploidy", "2", "--min-size", "0",
                str(excl), str(tmp_path / "outdir")])
     assert rc == 0
     report = (tmp_path / "outdir" / "EvaluateCNVResults.txt").read_text()

@@ -229,3 +229,33 @@ def test_somatic_enrichment_end_to_end(reference_dir, tmp_path):
     gains = [c for cl in calls.values() for c in cl if c.cn > 2]
     assert any(c.chrom == "chr1" and c.start < 200_000 and c.end > 80_000
                for c in gains)
+
+
+def test_somatic_training_mode_empty_vcf_on_failure(
+        reference_dir, tmp_path, monkeypatch):
+    """SomaticCaller.cs:409-422: in training mode a modeling exception
+    terminates normally with an empty VCF; in production it is fatal."""
+    from canvas_tpu.models import somatic as somatic_caller
+
+    plan = {"chr1": [(80_000, 200_000, 4)]}
+    bam = tmp_path / "t.bam"
+    snv_vcf = tmp_path / "normal.vcf"
+    make_somatic_bam(bam, snv_vcf, plan, {})
+
+    def boom(*a, **k):
+        raise somatic_caller.UncallableDataException("outside testable range")
+
+    monkeypatch.setattr(somatic_caller, "call_somatic", boom)
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "p"))
+    with pytest.raises(somatic_caller.UncallableDataException):
+        runner.somatic_wgs(ctx, runner.Sample("tumor", str(bam)))
+
+    ctx2 = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "t"))
+    ctx2.config.somatic_training_mode = True
+    out_vcf = runner.somatic_wgs(ctx2, runner.Sample("tumor", str(bam)))
+    assert out_vcf.exists()
+    calls = ec.load_cnv_calls(out_vcf)
+    assert sum(len(v) for v in calls.values()) == 0

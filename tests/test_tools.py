@@ -207,7 +207,8 @@ def test_evaluate_cnv_cli_split(tmp_path, capsys):
     excluded.write_text("")
     out = tmp_path / "eval"
     assert ec.main([str(truth), str(vcf), str(excluded), str(out),
-                    "--split-by-size", "--ploidy", "2"]) == 0
+                    "--split-by-size", "--ploidy", "2",
+                    "--min-size", "0"]) == 0
     files = sorted(p.name for p in out.iterdir())
     assert "EvaluateCNVResults.txt" in files
     assert "EvaluateCNVResults_0kb_5kb.txt" in files
@@ -280,3 +281,66 @@ def test_copy_number_oracle_bed_and_vcf(tmp_path):
     seg4.copy_number = 4
     rep = orc2.accuracy_report([seg4])
     assert rep["accuracy"] == 1.0
+
+
+def test_truth_bed_allele_pair_and_het_filter(tmp_path):
+    """CNVChecker.cs:152-161: CN = alleleA + alleleB; --het drops 1/1 rows
+    whose het fraction column is below the option."""
+    truth = tmp_path / "truth.bed"
+    truth.write_text(
+        "chr1\t1000\t2000\t0\t1\n"            # CN1 loss
+        "chr1\t5000\t6000\t1\t1\t0.2\n"       # het-normal row, frac 0.2
+        "chr1\t8000\t9000\t1\t2\t0.9\n")      # CN3 gain, frac 0.9
+    full = ec.load_truth_bed(truth)
+    assert [iv.cn for iv in full["chr1"]] == [1, 2, 3]
+    het = ec.load_truth_bed(truth, heterogeneity_fraction=0.5)
+    assert [iv.cn for iv in het["chr1"]] == [1, 3]
+
+
+def test_sex_ploidy_fn_with_par_bed(tmp_path):
+    par = tmp_path / "par.bed"
+    par.write_text("chrX\t0\t1000\nchrX\t5000\t6000\n")
+    fn = ec.sex_ploidy_fn(1, 1, par)          # XY male
+    assert fn("chrX", 100, 900) == 2           # PAR1 stays diploid
+    assert fn("chrX", 2000, 4000) == 1         # non-PAR X is haploid
+    assert fn("X", 2000, 4000) == 1            # chr-less naming too
+    assert fn("chrY", 0, 10_000) == 1
+    assert fn("chr7", 0, 10_000) == 2
+    # majority rule across a PAR boundary
+    assert fn("chrX", 900, 3000) == 1
+    fem = ec.sex_ploidy_fn(2, 0, par)          # XX female
+    assert fem("chrX", 2000, 4000) == 2
+    assert fem("chrY", 0, 10_000) == 0
+
+
+def test_min_entry_size_drops_small_entries(tmp_path):
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t3000\t1\nchr1\t50000\t90000\t3\n")
+    vcf = tmp_path / "calls.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tCanvas:LOSS:chr1:1001-3000\tN\t<CN1>\t30\tPASS\t"
+        "END=3000\tGT:CN:QS:FT\t0/1:1:30:PASS",
+        "chr1\t50000\tCanvas:GAIN:chr1:50001-90000\tN\t<CN3>\t30\tPASS\t"
+        "END=90000\tGT:CN:QS:FT\t./1:3:30:PASS",
+    ]) + "\n")
+    m = ec.evaluate(truth, vcf, min_entry_size=10000,
+                    ploidy_fn=lambda c, s, e: 2)
+    # only the 40kb gain participates
+    assert m.recall == pytest.approx(100.0)
+    assert m.total_bases == 40000
+
+
+def test_callability_metric(tmp_path):
+    filt = tmp_path / "filter.bed"
+    filt.write_text("chr1\t0\t100\nchr1\t900\t1000\n")
+    calls = {"chr1": [ec.CnvCall("chr1", 100, 500, 3, 2, "<CN3>", True),
+                      ec.CnvCall("chr1", 400, 600, 1, 2, "<CN1>", True),
+                      ec.CnvCall("chr1", 700, 800, 0, 2, "<CN0>", False)]}
+    called, total = ec.compute_callability(
+        calls, filt, {"chr1": 1000, "chrY": 500}, exclude_chr_y=True)
+    assert total == 800            # 1000 - 200 filtered, chrY excluded
+    assert called == 500           # merged 100-600 inside included span
+    txt = ec.format_callability(called, total)
+    assert "Percent callability\t62.5000" in txt
