@@ -150,6 +150,10 @@ class Segment:
             self.start_ci = other.start_ci
             self.begin = other.begin
             self.bin_counts = np.concatenate([other.bin_counts, self.bin_counts])
+            if self.bin_starts is not None and other.bin_starts is not None:
+                self.bin_starts = np.concatenate(
+                    [other.bin_starts, self.bin_starts])
+                self.bin_ends = np.concatenate([other.bin_ends, self.bin_ends])
             self.baf_positions = np.concatenate(
                 [other.baf_positions, self.baf_positions])
             self.baf_frequencies = np.concatenate(
@@ -162,6 +166,10 @@ class Segment:
             self.end_ci = other.end_ci
             self.end = other.end
             self.bin_counts = np.concatenate([self.bin_counts, other.bin_counts])
+            if self.bin_starts is not None and other.bin_starts is not None:
+                self.bin_starts = np.concatenate(
+                    [self.bin_starts, other.bin_starts])
+                self.bin_ends = np.concatenate([self.bin_ends, other.bin_ends])
             self.baf_positions = np.concatenate(
                 [self.baf_positions, other.baf_positions])
             self.baf_frequencies = np.concatenate(

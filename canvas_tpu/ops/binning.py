@@ -250,7 +250,7 @@ def read_gc_content(
     L = len(is_gc)
     out = np.zeros(L, dtype=np.uint8)
     limit = L - mean_fragment * mean_fragment_cutoff - 1
-    if limit <= 0:
+    if limit <= 0 or mean_fragment <= 0:
         return out
     frag = fragment_lengths[:limit].astype(np.int64)
     frag = np.where(frag == 0, mean_fragment,

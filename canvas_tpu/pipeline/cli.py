@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-b", "--bam", required=True)
     g.add_argument("-n", "--sample-name", required=True)
     g.add_argument("--sample-b-allele-vcf", default=None)
+    g.add_argument("--population-b-allele-vcf", default=None,
+                   help="dbSNP-style population SNV sites (exclusive with "
+                        "--sample-b-allele-vcf)")
     _common(g)
 
     for mode in ("Somatic-WGS", "Somatic-Enrichment",
@@ -53,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("-n", "--sample-name", required=True)
         s.add_argument("--normal-bam", default=None)
         s.add_argument("--sample-b-allele-vcf", default=None)
+        s.add_argument("--population-b-allele-vcf", default=None,
+                       help="dbSNP-style population SNV sites (exclusive "
+                            "with --sample-b-allele-vcf)")
         s.add_argument("--somatic-vcf", default=None)
         s.add_argument("--manifest", default=None,
                        help="Nextera manifest / target BED (enrichment modes)")
@@ -67,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--types", nargs="+", required=True,
                     help="Father/Mother/Proband/Sibling/Other per sample")
     sp.add_argument("--b-allele-vcfs", nargs="*", default=None)
+    sp.add_argument("--population-b-allele-vcf", default=None,
+                    help="dbSNP-style population SNV sites used for every "
+                         "sample (exclusive with --b-allele-vcfs)")
     sp.add_argument("--common-cnvs-bed", default=None,
                     help="bed of population CNVs forced into segmentation")
     _common(sp)
@@ -93,16 +102,24 @@ def main(argv=None) -> int:
         config=config, filter_bed=args.filter_bed,
         resume=not args.no_resume)
 
+    pop_vcf = getattr(args, "population_b_allele_vcf", None)
+    if pop_vcf and getattr(args, "sample_b_allele_vcf", None):
+        print("--sample-b-allele-vcf and --population-b-allele-vcf are "
+              "mutually exclusive", file=sys.stderr)
+        return 2
+
     if args.mode == "Germline-WGS":
         sample = runner.Sample(args.sample_name, args.bam,
-                               normal_vcf=args.sample_b_allele_vcf,
-                               ploidy_vcf=args.ploidy_vcf)
+                               normal_vcf=args.sample_b_allele_vcf or pop_vcf,
+                               ploidy_vcf=args.ploidy_vcf,
+                               is_dbsnp_vcf=bool(pop_vcf))
         out = runner.germline_wgs(ctx, sample)
     elif args.mode in ("Somatic-WGS", "Somatic-Enrichment",
                        "Tumor-normal-enrichment"):
         tumor = runner.Sample(args.sample_name, args.bam,
-                              normal_vcf=args.sample_b_allele_vcf,
-                              ploidy_vcf=args.ploidy_vcf)
+                              normal_vcf=args.sample_b_allele_vcf or pop_vcf,
+                              ploidy_vcf=args.ploidy_vcf,
+                              is_dbsnp_vcf=bool(pop_vcf))
         normal = runner.Sample(args.sample_name + "_N", args.normal_bam) \
             if args.normal_bam else None
         manifest = args.manifest
@@ -117,10 +134,15 @@ def main(argv=None) -> int:
             print("--bams/--names/--types must have the same length",
                   file=sys.stderr)
             return 2
-        vcfs = args.b_allele_vcfs or [None] * len(args.bams)
+        if pop_vcf and args.b_allele_vcfs:
+            print("--b-allele-vcfs and --population-b-allele-vcf are "
+                  "mutually exclusive", file=sys.stderr)
+            return 2
+        vcfs = args.b_allele_vcfs or [pop_vcf] * len(args.bams)
         samples = [
             runner.Sample(n, b, sample_type=t, normal_vcf=v,
-                          ploidy_vcf=args.ploidy_vcf)
+                          ploidy_vcf=args.ploidy_vcf,
+                          is_dbsnp_vcf=bool(pop_vcf))
             for n, b, t, v in zip(args.names, args.bams, args.types, vcfs)]
         out = runner.small_pedigree_wgs(
             ctx, samples, common_cnvs_bed=args.common_cnvs_bed)

@@ -82,6 +82,9 @@ class Sample:
     sample_type: str = "Other"   # Father/Mother/Proband/Sibling/Other
     normal_vcf: str | None = None
     ploidy_vcf: str | None = None
+    # --population-b-allele-vcf (dbSNP sites; no genotype filtering,
+    # SingleSampleCommonOptionsParser.cs:8-13 + SNVReviewer IsDbSnpVcf)
+    is_dbsnp_vcf: bool = False
 
 
 @dataclass
@@ -149,6 +152,36 @@ def ingest_observed(ctx: WorkflowContext, sample: Sample) -> dict[str, np.ndarra
     return observed
 
 
+def ingest_observed_with_fragments(
+    ctx: WorkflowContext, sample: Sample,
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """GCContentWeighted ingest: per-contig observed counts AND stored
+    forward-fragment lengths (CanvasBin.cs:261-266) via the Python reader
+    (the native scanner does not record fragment lengths)."""
+    bam = bamio.BamFile.read(sample.bam_path)
+    observed, fragments = {}, {}
+    for contig in ctx.canonical:
+        obs, frag = bamio.read_start_counts(bam, contig,
+                                            mode="GCContentWeighted")
+        observed[contig], fragments[contig] = obs, frag
+    return observed, fragments
+
+
+def _gc_weight_tracks(ctx: WorkflowContext,
+                      observed: dict[str, np.ndarray],
+                      fragments: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Per-position GC-correction weights (CanvasBin.cs:330-506): per-read
+    fragment GC percent -> genome-wide observed/expected-by-GC ratio ->
+    weight = ratio[readGC[pos]]."""
+    mean_frag = binning.mean_fragment_size(fragments)
+    read_gc = {c: binning.read_gc_content(
+        np.asarray(ctx.tracks[c]["is_gc"], bool), fragments[c], mean_frag)
+        for c in fragments}
+    obs_vs_exp = binning.observed_vs_expected_gc(read_gc, observed)
+    return {c: binning.gc_weights_for_contig(read_gc[c], obs_vs_exp)
+            for c in read_gc}
+
+
 def autosome_rates(ctx: WorkflowContext,
                    observed: dict[str, np.ndarray]) -> list[float]:
     from canvas_tpu.genome.contigs import is_autosome
@@ -169,17 +202,30 @@ def run_bin(ctx: WorkflowContext, sample: Sample,
     name = f"CanvasBin_{sample.name}.binned.gz"
 
     def produce():
-        obs = observed if observed is not None else ingest_observed(ctx, sample)
+        mode = ctx.config.coverage_mode
+        if mode == "Fragment":
+            raise ValueError(
+                "Fragment coverage mode needs predefined bins (enrichment "
+                "manifest); CanvasBin requires -n with -m Fragment")
+        gc_weights = None
+        if mode == "GCContentWeighted" and observed is None:
+            obs, fragments = ingest_observed_with_fragments(ctx, sample)
+            gc_weights = _gc_weight_tracks(ctx, obs, fragments)
+        else:
+            obs = observed if observed is not None \
+                else ingest_observed(ctx, sample)
         bs = bin_size or ctx.config.fixed_bin_size or \
             binning.bin_size_from_rates(
                 ctx.config.counts_per_bin, autosome_rates(ctx, obs))
         tracks = {c: dict(possible=ctx.tracks[c]["possible"],
                           observed=obs[c],
                           is_gc=ctx.tracks[c]["is_gc"],
-                          offset=ctx.tracks[c]["offset"])
+                          offset=ctx.tracks[c]["offset"],
+                          gc_weights=(gc_weights or {}).get(c))
                   for c in ctx.canonical}
-        per_contig = binning.bin_sample(tracks, bs,
-                                        mode=ctx.config.coverage_mode)
+        per_contig = binning.bin_sample(
+            tracks, bs, mode=mode if gc_weights or mode != "GCContentWeighted"
+            else "TruncatedDynamicRange")
         cid, st, en, gc, cnt = [], [], [], [], []
         for i, cname in enumerate(ctx.contigs.names):
             if cname not in per_contig:
@@ -238,7 +284,8 @@ def run_snv(ctx: WorkflowContext, sample: Sample,
     all_sites: list[snvio.SnvSite] = []
     for contig in ctx.canonical:
         sites = snvio.load_het_snvs(sample.normal_vcf, contig,
-                                    is_somatic=is_somatic)
+                                    is_somatic=is_somatic,
+                                    is_dbsnp=sample.is_dbsnp_vcf)
         snvio.pileup_counts(bam, contig, sites)
         all_sites.extend(sites)
     snvio.write_frequencies(out, all_sites)
@@ -417,8 +464,40 @@ def run_bin_predefined(ctx: WorkflowContext, sample: Sample,
     name = f"CanvasBin_{sample.name}.binned.gz"
 
     def produce():
-        obs = ingest_observed(ctx, sample)
+        mode = ctx.config.coverage_mode
         pb = predefined_bins(manifest)
+        if mode == "Fragment":
+            # FragmentBinner: properly-paired fragments assigned to the
+            # max-overlap bin with pair-undo bookkeeping
+            # (FragmentBinner.cs:26-81,256-312)
+            from canvas_tpu.ops import fragments as fragops
+
+            bam = bamio.BamFile.read(sample.bam_path)
+            cid, st, en, gc, cnt = [], [], [], [], []
+            for i, cname in enumerate(ctx.contigs.names):
+                if cname not in pb or cname not in ctx.tracks:
+                    continue
+                starts, ends = pb[cname]
+                t = ctx.tracks[cname]
+                idx = bam.ref_index(cname)
+                recs = (r for r in bam.records(want_seq=False)
+                        if r.ref_id == idx)
+                counts, _ = fragops.bin_fragments(recs, starts, ends)
+                g, _ = binning.bin_predefined_np(
+                    t["possible"], np.zeros(t["length"], np.uint8),
+                    t["is_gc"], starts, ends)
+                cid.append(np.full(len(starts), i, np.int32))
+                st.append(starts); en.append(ends); gc.append(g)
+                cnt.append(counts.astype(np.float32))
+            return BinSet(ctx.contigs, np.concatenate(cid),
+                          np.concatenate(st), np.concatenate(en),
+                          np.concatenate(gc), np.concatenate(cnt))
+        gc_weights = {}
+        if mode == "GCContentWeighted":
+            obs, fragments = ingest_observed_with_fragments(ctx, sample)
+            gc_weights = _gc_weight_tracks(ctx, obs, fragments)
+        else:
+            obs = ingest_observed(ctx, sample)
         cid, st, en, gc, cnt = [], [], [], [], []
         for i, cname in enumerate(ctx.contigs.names):
             if cname not in pb or cname not in ctx.tracks:
@@ -427,7 +506,8 @@ def run_bin_predefined(ctx: WorkflowContext, sample: Sample,
             t = ctx.tracks[cname]
             g, c = binning.bin_predefined_np(
                 t["possible"], obs.get(cname, np.zeros(t["length"], np.uint8)),
-                t["is_gc"], starts, ends)
+                t["is_gc"], starts, ends, mode=mode,
+                gc_weights=gc_weights.get(cname))
             cid.append(np.full(len(starts), i, np.int32))
             st.append(starts); en.append(ends); gc.append(g); cnt.append(c)
         return BinSet(ctx.contigs, np.concatenate(cid), np.concatenate(st),

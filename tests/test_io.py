@@ -195,3 +195,19 @@ def test_load_somatic_snv_vafs(tmp_path):
     ]) + "\n")
     vafs = load_somatic_snv_vafs(vcf)
     np.testing.assert_allclose(vafs, [0.2, 0.2])
+
+
+def test_load_dbsnp_population_vcf(tmp_path):
+    """A dbSNP/population VCF has no genotype columns: every PASS-agnostic
+    single-nucleotide site is kept (SNVReviewer.cs:122-126 comment)."""
+    vcf = tmp_path / "dbsnp.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "chr1\t100\trs1\tA\tC\t.\t.\t.",
+        "chr1\t200\trs2\tA\tCT\t.\t.\t.",    # not a SNV
+        "chr1\t300\trs3\tAG\tC\t.\t.\t.",    # ref not single base
+        "chr1\t400\trs4\tG\tT\t.\t.\t.",
+    ]) + "\n")
+    sites = snv.load_het_snvs(vcf, "chr1", is_dbsnp=True)
+    assert [s.position for s in sites] == [100, 400]

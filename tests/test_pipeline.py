@@ -259,3 +259,91 @@ def test_somatic_training_mode_empty_vcf_on_failure(
     assert out_vcf.exists()
     calls = ec.load_cnv_calls(out_vcf)
     assert sum(len(v) for v in calls.values()) == 0
+
+
+def test_gc_weighted_coverage_mode(reference_dir, tmp_path):
+    """GCContentWeighted mode end-to-end: weights computed from fragment
+    lengths + genome GC, calls still recover the planted CNVs."""
+    bam_path = tmp_path / "s.bam"
+    # give reads realistic tlen so fragment GC windows are non-degenerate
+    all_records = []
+    refs = [("chr1", L), ("chr2", L)]
+    for ci, contig in enumerate(("chr1", "chr2")):
+        cn = np.full(L, 2, dtype=np.float64)
+        for s, e, c in CNV_PLAN.get(contig, []):
+            cn[s:e] = c
+        recs = simulate_reads(np.random.default_rng(2000 + ci), L, cn)
+        for r in recs:
+            r.ref_id = ci
+            r.tlen = 300
+        all_records.extend(recs)
+    bamio.write_bam(bam_path, refs, all_records)
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    ctx.config.coverage_mode = "GCContentWeighted"
+    out_vcf = runner.germline_wgs(ctx, runner.Sample("gcw", str(bam_path)))
+    truth = tmp_path / "truth.bed"
+    with open(truth, "w") as f:
+        for contig, plan in CNV_PLAN.items():
+            for s, e, c in plan:
+                f.write(f"{contig}\t{s}\t{e}\t{c}\n")
+    m = ec.evaluate(truth, out_vcf, passing_only=False)
+    assert m.recall > 80.0
+    assert m.precision > 80.0
+
+
+def test_fragment_coverage_mode_enrichment(reference_dir, tmp_path):
+    """Fragment mode: properly-paired fragments counted into manifest bins."""
+    plan = {"chr1": [(80_000, 200_000, 4)]}
+    bam = tmp_path / "t.bam"
+    # paired fragments: two reads per fragment, proper pair flags
+    all_records = []
+    refs = [("chr1", L), ("chr2", L)]
+    k = 0
+    for ci, contig in enumerate(("chr1", "chr2")):
+        cn = np.full(L, 2, dtype=np.float64)
+        for s, e, c in plan.get(contig, []):
+            cn[s:e] = c
+        lam = 0.12 * cn / 2.0
+        n_frag = np.random.default_rng(3000 + ci).poisson(lam)
+        for pos in np.flatnonzero(n_frag):
+            for _ in range(int(n_frag[pos])):
+                mate_pos = min(int(pos) + 250, L - 51)
+                name = f"f{ci}_{k}"; k += 1
+                all_records.append(bamio.BamRecord(
+                    ci, int(pos), 50, 0x1 | 0x2 | 0x20, name, [(50, "M")],
+                    "A" * 50, np.full(50, 30, np.uint8), ci, mate_pos, 300))
+                all_records.append(bamio.BamRecord(
+                    ci, mate_pos, 50, 0x1 | 0x2 | 0x10, name, [(50, "M")],
+                    "A" * 50, np.full(50, 30, np.uint8), ci, int(pos), -300))
+    bamio.write_bam(bam, refs, all_records)
+    lines = []
+    for chrom in ("chr1", "chr2"):
+        for s in range(10_000, 290_000, 2000):
+            lines.append(f"{chrom}\t{s}\t{s + 1000}")
+    manifest = tmp_path / "targets.bed"
+    manifest.write_text("\n".join(lines) + "\n")
+    from canvas_tpu.io.manifest import Manifest
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    ctx.config.coverage_mode = "Fragment"
+    bins = runner.run_bin_predefined(ctx, runner.Sample("frag", str(bam)),
+                                     Manifest.read(str(manifest)))
+    sl = bins.contig_slices()["chr1"]
+    starts, counts = bins.start[sl], bins.count[sl]
+    gain = counts[(starts >= 80_000) & (starts < 200_000)]
+    normal = counts[(starts < 70_000) | (starts >= 210_000)]
+    # CN4 region carries ~2x the fragments of diploid territory
+    assert np.median(gain) > 1.6 * np.median(normal)
+    assert np.median(normal) > 0
+
+
+def test_fragment_mode_requires_manifest(reference_dir, tmp_path):
+    bam_path = tmp_path / "s.bam"
+    make_bam(bam_path, np.random.default_rng(5), CNV_PLAN)
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "o"))
+    ctx.config.coverage_mode = "Fragment"
+    with pytest.raises(ValueError, match="predefined bins"):
+        runner.germline_wgs(ctx, runner.Sample("s", str(bam_path)))
