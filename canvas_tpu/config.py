@@ -47,6 +47,9 @@ class CanvasConfig:
     # CanvasPartition -m/--method override (None = per-mode default)
     partition_method: str | None = None
 
+    # CanvasNormalize -m/--mode (WeightedAverage | BestLR2 | PCA)
+    normalize_mode: str = "WeightedAverage"
+
     # CanvasSomaticCaller training mode: any modeling exception produces an
     # empty-but-valid VCF instead of failing (SomaticCaller.cs:409-422)
     somatic_training_mode: bool = False

@@ -60,20 +60,55 @@ def best_lr2_reference(tumor: BinSet, controls: list[BinSet]) -> BinSet:
     return best
 
 
-def pca_reference(tumor: BinSet, axes: np.ndarray, mu: np.ndarray) -> BinSet:
+def pca_reference(tumor: BinSet, axes: np.ndarray, mu: np.ndarray,
+                  min_ref: float = 1.0, max_ref: float = np.inf) -> BinSet:
     """Project the centered tumor counts onto PCA model axes
-    (PCAReferenceGenerator.cs:33-71): ref = mu + axes @ (axes^T (x - mu)),
-    then rescale so median(ref) matches median(x); negative entries floored
-    at 0."""
-    x = tumor.count.astype(np.float64)
+    (PCAReferenceGenerator.Run, :33-70): counts floored at 1, ref =
+    max(1, mu + sum_i axis_i (axis_i . (x - mu))), then multiplied by the
+    median raw ratio over reference bins within [min_ref, max_ref]."""
+    x = np.maximum(tumor.count.astype(np.float64), 1.0)
     centered = x - mu
-    proj = axes @ (axes.T @ centered)
-    ref = mu + proj
-    ref = np.maximum(ref, 0.0)
-    med_x, med_ref = stats.median(x), stats.median(ref[ref > 0])
-    if med_ref > 0:
-        ref = ref * (med_x / med_ref)
+    # axes: [n_axes, n_bins]; Project (Utilities.Project)
+    proj = axes.T @ (axes @ centered)
+    ref = np.maximum(mu + proj, 1.0)
+    ok = (ref >= min_ref) & (ref <= max_ref)
+    if ok.any():
+        median_ratio = stats.median((x[ok] / ref[ok]).astype(np.float32))
+        ref = ref * median_ratio
     return tumor.with_count(ref.astype(np.float32))
+
+
+def load_pca_model(path) -> tuple[list[tuple[str, int, int]], np.ndarray,
+                                  np.ndarray]:
+    """PCA model file (PCAReferenceGenerator.PCAModel.LoadModel, :97-133):
+    gzipped TSV 'chrom start stop mean axis1 axis2 ...'.  Axes are 2-norm
+    normalized and must be mutually orthogonal.  Returns (bin keys, mu,
+    axes[n_axes, n_bins])."""
+    import gzip
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    keys: list[tuple[str, int, int]] = []
+    mu: list[float] = []
+    axes_cols: list[list[float]] = []
+    with opener(str(path), "rt") as f:
+        for line in f:
+            toks = line.rstrip("\n").split("\t")
+            if len(toks) < 4:
+                continue
+            if not axes_cols:
+                axes_cols = [[] for _ in range(len(toks) - 4)]
+            keys.append((toks[0], int(toks[1]), int(toks[2])))
+            mu.append(float(toks[3]))
+            for i in range(len(axes_cols)):
+                axes_cols[i].append(float(toks[i + 4]))
+    axes = np.asarray(axes_cols, dtype=np.float64)
+    norms = np.linalg.norm(axes, axis=1, keepdims=True)
+    axes = axes / np.where(norms == 0, 1.0, norms)
+    gram = axes @ axes.T
+    off = gram - np.diag(np.diag(gram))
+    if np.abs(off).max(initial=0.0) > 1e-6:
+        raise ValueError(f"Axes are not orthogonal to each other in {path}")
+    return keys, np.asarray(mu, dtype=np.float64), axes
 
 
 def lsnorm_ratios(sample: BinSet, reference: BinSet) -> BinSet:

@@ -60,6 +60,15 @@ def build_parser() -> argparse.ArgumentParser:
                        help="dbSNP-style population SNV sites (exclusive "
                             "with --sample-b-allele-vcf)")
         s.add_argument("--somatic-vcf", default=None)
+        s.add_argument("--control-bams", nargs="*", default=None,
+                       help="control/panel-of-normals BAMs merged into the "
+                            "reference track (CanvasNormalize)")
+        s.add_argument("--pca-model-file", default=None,
+                       help="PCA normalization model (gz TSV: chrom start "
+                            "stop mean axis1..axisN)")
+        s.add_argument("--normalize-mode", default=None,
+                       choices=["WeightedAverage", "BestLR2", "PCA"],
+                       help="reference-track generator (CanvasNormalize -m)")
         s.add_argument("--manifest", default=None,
                        help="Nextera manifest / target BED (enrichment modes)")
         s.add_argument("--training-mode", action="store_true",
@@ -126,9 +135,15 @@ def main(argv=None) -> int:
         if manifest is None and "nrichment" in args.mode:
             print("warning: enrichment mode without --manifest; "
                   "running whole-genome binning", file=sys.stderr)
+        if args.normalize_mode:
+            config.normalize_mode = args.normalize_mode
+        ctrl = [runner.Sample(f"{args.sample_name}_C{i}", b)
+                for i, b in enumerate(args.control_bams or [])]
         out = runner.somatic_wgs(ctx, tumor, normal,
                                  somatic_vcf=args.somatic_vcf,
-                                 manifest_path=manifest)
+                                 manifest_path=manifest,
+                                 controls=ctrl,
+                                 pca_model_file=args.pca_model_file)
     else:  # SmallPedigree-WGS
         if len(args.bams) != len(args.names) or len(args.bams) != len(args.types):
             print("--bams/--names/--types must have the same length",

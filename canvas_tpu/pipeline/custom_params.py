@@ -132,11 +132,15 @@ _CANVASCLEAN_FLAGS = {
 _CANVASPARTITION_FLAGS = {
     "-m": ("partition_method", str), "--method": ("partition_method", str),
 }
+_CANVASNORMALIZE_FLAGS = {
+    "-m": ("normalize_mode", str), "--mode": ("normalize_mode", str),
+}
 
 _STAGE_FLAGS = {
     "canvasbin": _CANVASBIN_FLAGS,
     "canvasclean": _CANVASCLEAN_FLAGS,
     "canvaspartition": _CANVASPARTITION_FLAGS,
+    "canvasnormalize": _CANVASNORMALIZE_FLAGS,
 }
 
 # reference CanvasCoverageMode spellings (Utilities.ParseCanvasCoverageMode)

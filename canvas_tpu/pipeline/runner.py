@@ -201,6 +201,8 @@ def run_bin(ctx: WorkflowContext, sample: Sample,
     ckpt = ctx.checkpointer
     name = f"CanvasBin_{sample.name}.binned.gz"
 
+    size_file = ckpt.path(f"CanvasBin_{sample.name}.binsize.txt")
+
     def produce():
         mode = ctx.config.coverage_mode
         if mode == "Fragment":
@@ -217,6 +219,7 @@ def run_bin(ctx: WorkflowContext, sample: Sample,
         bs = bin_size or ctx.config.fixed_bin_size or \
             binning.bin_size_from_rates(
                 ctx.config.counts_per_bin, autosome_rates(ctx, obs))
+        size_file.write_text(f"{bs}\n")
         tracks = {c: dict(possible=ctx.tracks[c]["possible"],
                           observed=obs[c],
                           is_gc=ctx.tracks[c]["is_gc"],
@@ -241,7 +244,8 @@ def run_bin(ctx: WorkflowContext, sample: Sample,
     bins = ckpt.run(name, produce,
                     load=lambda p: BinSet.read_text(p, ctx.contigs),
                     save=lambda b, p: b.write_text(p))
-    return bins, 0
+    used = int(size_file.read_text()) if size_file.exists() else 0
+    return bins, used
 
 
 def run_clean(ctx: WorkflowContext, sample: Sample, bins: BinSet,
@@ -519,13 +523,36 @@ def run_bin_predefined(ctx: WorkflowContext, sample: Sample,
                     save=lambda b, p: b.write_text(p))
 
 
+def _bin_ploidy_array(bins: BinSet, ploidy: PloidyInfo | None) -> np.ndarray | None:
+    """Per-bin reference ploidy from a ploidy VCF
+    (CanvasNormalizeUtilities.RatiosToCounts honors the ploidy VCF)."""
+    if ploidy is None:
+        return None
+    out = np.full(len(bins), 2.0)
+    names = bins.contigs.names
+    for chrom in ploidy.by_chromosome:
+        if chrom not in names:
+            continue
+        ci = names.index(chrom)
+        idx = np.flatnonzero(bins.contig_id == ci)
+        for i in idx:
+            out[i] = ploidy.reference_copy_number(
+                chrom, int(bins.start[i]), int(bins.end[i]))
+    return out
+
+
 def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
                 normal: Sample | None = None,
                 somatic_vcf: str | None = None,
-                manifest_path: str | None = None) -> Path:
+                manifest_path: str | None = None,
+                controls: list[Sample] | None = None,
+                pca_model_file: str | None = None) -> Path:
     """Somatic-WGS (wavelets) / Somatic-Enrichment (manifest bins + CBS +
-    smoothing): bin -> [smooth] -> clean [-> T/N ratio] -> partition ->
-    somatic caller."""
+    smoothing): bin -> [T/N(panel) ratio] -> clean -> partition -> somatic
+    caller.  Normalization runs on BINNED counts and CanvasClean on the
+    ratio pseudo-counts, matching the reference stage order
+    (CanvasRunner.NormalizeCoverage inside InvokeCanvasBin, :246-251,473-481
+    -> CanvasClean :810)."""
     from canvas_tpu.io.manifest import Manifest
     from canvas_tpu.ops import smooth as smooth_ops
 
@@ -533,29 +560,52 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
     manifest = Manifest.read(manifest_path) if is_enrichment else None
     ploidy = load_ploidy_vcf(tumor.ploidy_vcf) if tumor.ploidy_vcf else None
     prof = profiling.reset()
+    all_controls = ([normal] if normal else []) + list(controls or [])
     with prof.stage("CanvasBin"):
         if is_enrichment:
             t_bins = run_bin_predefined(ctx, tumor, manifest)
             t_bins = smooth_ops.smooth(t_bins)
+            t_bs = None
         else:
-            t_bins, _ = run_bin(ctx, tumor)
-    with prof.stage("CanvasClean", bins=len(t_bins)):
-        t_clean, local_sd = run_clean(ctx, tumor, t_bins,
-                                      compute_local_sd=not is_enrichment)
-    work = t_clean
-    if normal is not None:
+            t_bins, t_bs = run_bin(ctx, tumor)
+    work_bins = t_bins
+    if all_controls or pca_model_file:
         with prof.stage("CanvasNormalize"):
-            if is_enrichment:
-                n_bins = run_bin_predefined(ctx, normal, manifest)
-                n_bins = smooth_ops.smooth(n_bins)
-            else:
-                n_bins, _ = run_bin(ctx, normal)
-            n_clean, _ = run_clean(ctx, normal, n_bins)
-            ratios = ratio.lsnorm_ratios(t_clean, n_clean)
+            c_bins: list[BinSet] = []
+            for c in all_controls:
+                if is_enrichment:
+                    cb = run_bin_predefined(ctx, c, manifest)
+                    cb = smooth_ops.smooth(cb)
+                else:
+                    # shared bin size -> identical boundaries (bins
+                    # accumulate possible positions, not observed counts)
+                    cb, _ = run_bin(ctx, c, bin_size=t_bs or None)
+                c_bins.append(cb)
+            mode = ctx.config.normalize_mode
+            if pca_model_file or mode == "PCA":
+                if not pca_model_file:
+                    raise ValueError("PCA normalize mode needs a model file")
+                _, mu, axes = ratio.load_pca_model(pca_model_file)
+                if len(mu) != len(t_bins):
+                    raise ValueError(
+                        f"PCA model has {len(mu)} bins but the sample has "
+                        f"{len(t_bins)}; bins must match the model")
+                reference = ratio.pca_reference(t_bins, axes, mu)
+                ratios = ratio.raw_ratios(t_bins, reference)
+            elif mode == "BestLR2":
+                reference = ratio.best_lr2_reference(t_bins, c_bins)
+                ratios = ratio.lsnorm_ratios(t_bins, reference)
+            else:   # WeightedAverage (default)
+                reference = ratio.weighted_average_reference(c_bins)
+                ratios = ratio.lsnorm_ratios(t_bins, reference)
             ratio.write_cnd_file(
-                t_clean, n_clean, ratios,
+                t_bins, reference, ratios,
                 Path(ctx.output_dir) / f"{tumor.name}.cnd")
-            work = ratio.ratios_to_counts(ratios)
+            work_bins = ratio.ratios_to_counts(
+                ratios, _bin_ploidy_array(ratios, ploidy))
+    with prof.stage("CanvasClean", bins=len(work_bins)):
+        work, local_sd = run_clean(ctx, tumor, work_bins,
+                                   compute_local_sd=not is_enrichment)
     with prof.stage("CanvasSNV"):
         vf = run_snv(ctx, tumor, is_somatic=True)
     cov = coverage_by_contig(work)

@@ -211,3 +211,70 @@ def test_load_dbsnp_population_vcf(tmp_path):
     ]) + "\n")
     sites = snv.load_het_snvs(vcf, "chr1", is_dbsnp=True)
     assert [s.position for s in sites] == [100, 400]
+
+
+def _mk_bins(counts, ct=None):
+    from canvas_tpu.io.bins import BinSet
+    from canvas_tpu.genome.contigs import ContigTable
+
+    ct = ct or ContigTable(["chr1"], [1_000_000])
+    n = len(counts)
+    return BinSet(ct, np.zeros(n, np.int32),
+                  np.arange(n, dtype=np.int64) * 100,
+                  (np.arange(n, dtype=np.int64) + 1) * 100,
+                  np.full(n, 40, np.int16),
+                  np.asarray(counts, np.float32))
+
+
+def test_weighted_average_and_best_lr2_reference():
+    from canvas_tpu.ops import ratio as rt
+
+    tumor = _mk_bins([100.0] * 9 + [200.0])
+    c1 = _mk_bins([50.0] * 10)        # median 50 -> weight 1/50
+    c2 = _mk_bins([100.0] * 10)       # median 100 -> weight 1/100
+    wa = rt.weighted_average_reference([c1, c2])
+    # weights normalized: (2/3)*50 + (1/3)*100 = 66.67
+    np.testing.assert_allclose(wa.count, 100 / 1.5, rtol=1e-6)
+    # BestLR2: c2 matches the tumor best
+    best = rt.best_lr2_reference(tumor, [c1, c2])
+    assert best is c2
+
+
+def test_pca_reference_matches_reference_semantics():
+    from canvas_tpu.ops import ratio as rt
+
+    rng = np.random.default_rng(0)
+    n = 256
+    mu = np.full(n, 100.0)
+    ax1 = np.zeros(n); ax1[: n // 2] = 1.0
+    ax2 = np.zeros(n); ax2[n // 2:] = 1.0
+    axes = np.stack([ax1 / np.linalg.norm(ax1), ax2 / np.linalg.norm(ax2)])
+    x = mu + 20 * ax1 + rng.normal(0, 0.5, n)
+    tumor = _mk_bins(x)
+    ref = rt.pca_reference(tumor, axes, mu)
+    # the systematic +20 on the first half is captured by the model; the
+    # ratio x/ref is ~1 everywhere (median-ratio rescaled)
+    ratios = tumor.count / ref.count
+    np.testing.assert_allclose(np.median(ratios), 1.0, atol=0.02)
+    assert np.abs(ratios - 1.0).max() < 0.1
+
+
+def test_load_pca_model_and_orthogonality(tmp_path):
+    from canvas_tpu.ops import ratio as rt
+
+    good = tmp_path / "model.txt"
+    good.write_text(
+        "chr1\t0\t100\t10.0\t1.0\t0.0\n"
+        "chr1\t100\t200\t20.0\t0.0\t2.0\n")
+    keys, mu, axes = rt.load_pca_model(good)
+    assert keys == [("chr1", 0, 100), ("chr1", 100, 200)]
+    np.testing.assert_allclose(mu, [10.0, 20.0])
+    np.testing.assert_allclose(axes, [[1.0, 0.0], [0.0, 1.0]])  # 2-norm'd
+
+    bad = tmp_path / "bad.txt"
+    bad.write_text(
+        "chr1\t0\t100\t10.0\t1.0\t1.0\n"
+        "chr1\t100\t200\t20.0\t0.0\t1.0\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="orthogonal"):
+        rt.load_pca_model(bad)

@@ -347,3 +347,51 @@ def test_fragment_mode_requires_manifest(reference_dir, tmp_path):
     ctx.config.coverage_mode = "Fragment"
     with pytest.raises(ValueError, match="predefined bins"):
         runner.germline_wgs(ctx, runner.Sample("s", str(bam_path)))
+
+
+def test_tumor_normal_wgs_ratio_path(reference_dir, tmp_path):
+    """T/N WGS: normalization on binned counts (ratio pseudo-counts into
+    CanvasClean), matched-normal reference track, somatic caller."""
+    plan = {"chr1": [(80_000, 200_000, 4)]}
+    maf_plan = {"chr1": [(80_000, 200_000, 0.25)]}
+    t_bam = tmp_path / "t.bam"
+    snv_vcf = tmp_path / "n.vcf"
+    make_somatic_bam(t_bam, snv_vcf, plan, maf_plan)
+    n_bam = tmp_path / "normal.bam"
+    make_bam(n_bam, np.random.default_rng(9), {})   # diploid everywhere
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    tumor = runner.Sample("tumor", str(t_bam), normal_vcf=str(snv_vcf))
+    normal = runner.Sample("tumor_N", str(n_bam))
+    out_vcf = runner.somatic_wgs(ctx, tumor, normal)
+    assert out_vcf.exists()
+    assert (tmp_path / "out" / "tumor.cnd").exists()
+    calls = ec.load_cnv_calls(out_vcf)
+    gains = [c for cl in calls.values() for c in cl if c.cn > 2]
+    assert any(c.chrom == "chr1" and c.start < 200_000 and c.end > 80_000
+               for c in gains)
+
+
+def test_weighted_average_controls_pipeline(reference_dir, tmp_path):
+    """Panel-of-normals: two control BAMs merged by 1/median weights."""
+    plan = {"chr1": [(80_000, 200_000, 4)]}
+    maf_plan = {"chr1": [(80_000, 200_000, 0.25)]}
+    t_bam = tmp_path / "t.bam"
+    snv_vcf = tmp_path / "n.vcf"
+    make_somatic_bam(t_bam, snv_vcf, plan, maf_plan)
+    c1 = tmp_path / "c1.bam"
+    c2 = tmp_path / "c2.bam"
+    make_bam(c1, np.random.default_rng(10), {})
+    make_bam(c2, np.random.default_rng(11), {})
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "out"))
+    tumor = runner.Sample("tumor", str(t_bam), normal_vcf=str(snv_vcf))
+    ctrls = [runner.Sample("tumor_C0", str(c1)),
+             runner.Sample("tumor_C1", str(c2))]
+    out_vcf = runner.somatic_wgs(ctx, tumor, controls=ctrls)
+    calls = ec.load_cnv_calls(out_vcf)
+    gains = [c for cl in calls.values() for c in cl if c.cn > 2]
+    assert any(c.chrom == "chr1" and c.start < 200_000 and c.end > 80_000
+               for c in gains)
