@@ -17,8 +17,12 @@ import numpy as np
 
 _SRC = Path(__file__).parent / "bam_scanner.cpp"
 _LIB = Path(__file__).parent / "libbam_scanner.so"
+_KMER_SRC = Path(__file__).parent / "kmer_flagger.cpp"
+_KMER_LIB = Path(__file__).parent / "libkmer_flagger.so"
 _lib = None
 _build_failed = False
+_kmer_lib = None
+_kmer_build_failed = False
 
 
 def _load():
@@ -46,6 +50,71 @@ def _load():
         _build_failed = True
         _lib = None
     return _lib
+
+
+def _load_kmer():
+    global _kmer_lib, _kmer_build_failed
+    if _kmer_lib is not None or _kmer_build_failed:
+        return _kmer_lib
+    try:
+        if not _KMER_LIB.exists() \
+                or _KMER_LIB.stat().st_mtime < _KMER_SRC.stat().st_mtime:
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-o",
+                     str(_KMER_LIB), str(_KMER_SRC), "-lpthread"],
+                    check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", str(_KMER_LIB),
+                     str(_KMER_SRC), "-lpthread"],
+                    check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_KMER_LIB))
+        lib.flag_unique_kmers.restype = ctypes.c_int64
+        lib.flag_unique_kmers.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32, ctypes.c_int32]
+        _kmer_lib = lib
+    except Exception:
+        _kmer_build_failed = True
+        _kmer_lib = None
+    return _kmer_lib
+
+
+def flag_unique_kmers(seqs: dict, n_passes: int = 1,
+                      n_threads: int = 0) -> "dict | None":
+    """Native 35-mer uniqueness flagging (Tools/FlagUniqueKmers semantics):
+    rolling 70-bit canonical keys, multithreaded extraction, pass-bucketed
+    sort so memory stays ~total/n_passes.  Returns contig -> bool mask, or
+    None when the native path is unavailable."""
+    lib = _load_kmer()
+    if lib is None:
+        return None
+    names = list(seqs)
+    def as_bytes(s):
+        if isinstance(s, np.ndarray):
+            return np.asarray(s, dtype=np.uint8)
+        if isinstance(s, str):
+            s = s.encode()
+        return np.frombuffer(bytes(s), dtype=np.uint8)
+
+    arrays = [as_bytes(seqs[n]) for n in names]
+    offsets = np.zeros(len(names) + 1, dtype=np.int64)
+    for i, a in enumerate(arrays):
+        offsets[i + 1] = offsets[i] + len(a)
+    concat = np.concatenate(arrays) if arrays else np.zeros(0, np.uint8)
+    mask = np.zeros(len(concat), dtype=np.uint8)
+    rc = lib.flag_unique_kmers(
+        concat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(names),
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_passes), int(n_threads))
+    if rc < 0:
+        return None
+    return {n: mask[offsets[i]:offsets[i + 1]].astype(bool)
+            for i, n in enumerate(names)}
 
 
 def available() -> bool:

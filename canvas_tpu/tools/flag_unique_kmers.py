@@ -29,63 +29,64 @@ for i, b in enumerate(b"ACGT"):
 _COMP = np.array([3, 2, 1, 0], dtype=np.uint8)  # A<->T, C<->G
 
 
-def _pack_kmers(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """All K-length windows packed into uint64 keys (2 bits/base).
-    Returns (keys, valid) — valid False where the window contains N."""
+def _pack_kmers(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All K-length windows packed into 70-bit (hi, lo) canonical keys —
+    2 bits/base like the reference's 9-byte string key
+    (KmerChecker.GetKeyForKmer): hi carries the first K-32 bases, lo the
+    last 32.  Returns (hi, lo, valid) — valid False where the window
+    contains N."""
     n = len(codes) - K + 1
     if n <= 0:
-        return np.zeros(0, np.uint64), np.zeros(0, bool)
+        z = np.zeros(0, np.uint64)
+        return z, z, np.zeros(0, bool)
     bad = codes == 255
     codes2 = np.where(bad, 0, codes).astype(np.uint64)
-    # forward keys via sliding polynomial: key[i] = sum codes[i+j] << 2*(K-1-j)
-    keys = np.zeros(n, dtype=np.uint64)
+    n_hi = K - 32
+    # forward key: bases 0..n_hi-1 in hi (MSB-first), bases n_hi..K-1 in lo
+    hi = np.zeros(n, dtype=np.uint64)
+    lo = np.zeros(n, dtype=np.uint64)
+    for j in range(n_hi):
+        hi |= codes2[j:j + n] << np.uint64(2 * (n_hi - 1 - j))
+    for j in range(n_hi, K):
+        lo |= codes2[j:j + n] << np.uint64(2 * (K - 1 - j))
+    # reverse-complement key: base K-1-j complemented at weight j (T=0..A=3)
+    comp = _COMP[np.where(bad, 0, codes)].astype(np.uint64)
+    rhi = np.zeros(n, dtype=np.uint64)
+    rlo = np.zeros(n, dtype=np.uint64)
     for j in range(K):
-        keys |= codes2[j:j + n] << np.uint64(2 * (K - 1 - j))
-    # reverse-complement keys
-    comp = np.where(bad, 0, _COMP[np.where(bad, 0, codes)]).astype(np.uint64)
-    rkeys = np.zeros(n, dtype=np.uint64)
-    for j in range(K):
-        rkeys |= comp[j:j + n] << np.uint64(2 * j)
-    canonical = np.minimum(keys, rkeys)
+        w = K - 1 - j            # weight of reversed position j (MSB-first)
+        src = comp[K - 1 - j:K - 1 - j + n]
+        if w >= 32:
+            rhi |= src << np.uint64(2 * (w - 32))
+        else:
+            rlo |= src << np.uint64(2 * w)
+    take_fwd = (hi < rhi) | ((hi == rhi) & (lo <= rlo))
+    c_hi = np.where(take_fwd, hi, rhi)
+    c_lo = np.where(take_fwd, lo, rlo)
     # valid windows: no N inside
     bad_cum = np.concatenate([[0], np.cumsum(bad)])
     valid = (bad_cum[K:] - bad_cum[:-K]) == 0
-    return canonical, valid
+    return c_hi, c_lo, valid
 
 
 def flag_unique_kmers(
-    genome_fa: str | Path, out_fa: str | Path, n_passes: int = 1,
+    genome_fa: str | Path, out_fa: str | Path, n_passes: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Write kmer.fa; returns per-contig uniqueness masks.
 
     n_passes > 1 splits the key space to bound memory (the reference's
-    400M-entry dictionary cap, FlagUniqueKmers/Main :231-298)."""
+    400M-entry dictionary cap, FlagUniqueKmers/Main :231-298); None/0 picks
+    ~one pass per 250 Mbp so a whole-genome run stays under a few GB."""
     seqs = read_fasta(genome_fa)
-    per_contig: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-    for name, bases in seqs.items():
-        codes = _CODE[bases]
-        per_contig[name] = _pack_kmers(codes)
+    if not n_passes:
+        total = sum(len(s) for s in seqs.values())
+        n_passes = max(1, int(round(total / 250_000_000)))
 
-    unique_masks = {name: np.zeros(len(seqs[name]), dtype=bool)
-                    for name in seqs}
-    space = np.uint64(0xFFFFFFFFFFFFFFFF)
-    for p in range(n_passes):
-        lo = np.uint64((int(space) // n_passes) * p)
-        hi = np.uint64((int(space) // n_passes) * (p + 1)) \
-            if p < n_passes - 1 else space
-        keys_parts, owners = [], []
-        for name, (keys, valid) in per_contig.items():
-            m = valid & (keys >= lo) & (keys <= hi)
-            keys_parts.append(keys[m])
-            owners.append((name, np.flatnonzero(m)))
-        if not keys_parts:
-            continue
-        allk = np.concatenate(keys_parts)
-        uniq, counts = np.unique(allk, return_counts=True)
-        unique_set = uniq[counts == 1]
-        for (name, idx), part in zip(owners, keys_parts):
-            isuniq = np.isin(part, unique_set)
-            unique_masks[name][idx[isuniq]] = True
+    from canvas_tpu import native
+
+    unique_masks = native.flag_unique_kmers(seqs, n_passes=n_passes)
+    if unique_masks is None:
+        unique_masks = _flag_unique_numpy(seqs, n_passes)
 
     out_seqs = {}
     for name, bases in seqs.items():
@@ -99,6 +100,48 @@ def flag_unique_kmers(
     return unique_masks
 
 
+def _flag_unique_numpy(seqs: dict, n_passes: int) -> dict[str, np.ndarray]:
+    """Vectorized numpy fallback: lexsorted (hi, lo) keys, runs of length 1
+    are unique.  n_passes > 1 partitions the key space by lo % n_passes to
+    bound memory (the reference's 400M-entry dictionary cap,
+    FlagUniqueKmers/Main :231-298)."""
+    per_contig = {}
+    for name, bases in seqs.items():
+        per_contig[name] = _pack_kmers(_CODE[bases])
+
+    unique_masks = {name: np.zeros(len(seqs[name]), dtype=bool)
+                    for name in seqs}
+    for p in range(n_passes):
+        hi_parts, lo_parts, owners = [], [], []
+        for name, (hi, lo, valid) in per_contig.items():
+            m = valid if n_passes == 1 \
+                else valid & ((lo % np.uint64(n_passes)) == np.uint64(p))
+            hi_parts.append(hi[m])
+            lo_parts.append(lo[m])
+            owners.append((name, np.flatnonzero(m)))
+        if not hi_parts:
+            continue
+        all_hi = np.concatenate(hi_parts)
+        all_lo = np.concatenate(lo_parts)
+        if len(all_hi) == 0:
+            continue
+        order = np.lexsort((all_lo, all_hi))
+        h, l = all_hi[order], all_lo[order]
+        new_run = np.ones(len(h), dtype=bool)
+        new_run[1:] = (h[1:] != h[:-1]) | (l[1:] != l[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        is_unique_sorted = run_len[run_id] == 1
+        is_unique = np.empty(len(h), dtype=bool)
+        is_unique[order] = is_unique_sorted
+        offset = 0
+        for name, idx in owners:
+            part = is_unique[offset:offset + len(idx)]
+            unique_masks[name][idx[part]] = True
+            offset += len(idx)
+    return unique_masks
+
+
 def main(argv=None) -> int:
     """CLI: FlagUniqueKmers genome.fa kmer.fa (Tools/FlagUniqueKmers)."""
     import argparse
@@ -106,8 +149,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="flag_unique_kmers")
     p.add_argument("genome_fa")
     p.add_argument("kmer_fa")
-    p.add_argument("--passes", type=int, default=1,
-                   help="key-space passes to bound memory")
+    p.add_argument("--passes", type=int, default=0,
+                   help="key-space passes to bound memory (0 = auto, "
+                        "~1 per 250 Mbp)")
     args = p.parse_args(argv)
     flag_unique_kmers(args.genome_fa, args.kmer_fa, n_passes=args.passes)
     return 0

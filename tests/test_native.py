@@ -57,3 +57,32 @@ def test_native_binary_mode(bam_fixture):
     path, refs = bam_fixture
     got = native.scan_read_starts(str(path), 0, refs[0][1], binary_mode=True)
     assert got.max() == 1
+
+
+def test_native_kmer_flagger_matches_numpy(rng):
+    """Native rolling-key flagger == numpy lexsort fallback, single and
+    multi-pass, with planted exact/revcomp repeats and N islands."""
+    import numpy as np
+    from canvas_tpu import native
+    from canvas_tpu.tools import flag_unique_kmers as fk
+
+    if not hasattr(native, "flag_unique_kmers") \
+            or native.flag_unique_kmers({"c": "A" * 40}) is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    seq = "".join(rng.choice(list("ACGT"), size=4000))
+    seq = seq[:1000] + seq[500:560] + seq[1060:]          # exact repeat
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(seq[2000:2100]))
+    seq = seq[:3000] + rc + seq[3100:]                     # revcomp repeat
+    seq = seq[:3500] + "N" * 7 + seq[3507:]                # N island
+    seqs = {"c1": seq, "c2": seq[1234:2500]}
+    as_np = {k: np.frombuffer(v.encode(), np.uint8) for k, v in seqs.items()}
+    py = fk._flag_unique_numpy(as_np, 1)
+    for passes in (1, 3):
+        nat = native.flag_unique_kmers(seqs, n_passes=passes)
+        for k in seqs:
+            np.testing.assert_array_equal(nat[k], py[k])
+    # repeats and N windows flagged non-unique
+    assert not py["c1"][1000:1006].any()
+    assert not py["c1"][3500 - 34:3507].any()
