@@ -179,6 +179,30 @@ def b_allele_frequency(site: SnvSite) -> float | None:
 # VF file I/O
 # ---------------------------------------------------------------------------
 
+def is_variant_site(site: SnvSite, is_dbsnp: bool = False) -> bool:
+    """SNVReviewer.IsVariantSite (:74-81): drop zero-depth sites; for a
+    population (dbSNP) VCF require at least one variant-allele read."""
+    total = site.count_ref + site.count_alt
+    if total == 0:
+        return False
+    if is_dbsnp and site.count_alt == 0:
+        return False
+    return True
+
+
+def write_baf_csv(path: str | Path, sites: list[SnvSite]) -> None:
+    """The .baf CSV companion (WriteBAlleleFrequencies, SNVReviewer.cs
+    :299-316): 'Chromosome,Position,BAF' rows, B allele by the A<T<G<C dye
+    preference."""
+    with open(str(path), "w", newline="\n") as f:
+        f.write("Chromosome,Position,BAF\n")
+        for s in sites:
+            baf = b_allele_frequency(s)
+            if baf is None:
+                continue
+            f.write(f"{s.chrom},{s.position},{baf}\n")
+
+
 def write_frequencies(path: str | Path, sites: list[SnvSite]) -> None:
     opener = gzip.open if str(path).endswith(".gz") else open
     with opener(str(path), "wt") as f:

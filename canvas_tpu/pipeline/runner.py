@@ -291,8 +291,12 @@ def run_snv(ctx: WorkflowContext, sample: Sample,
                                     is_somatic=is_somatic,
                                     is_dbsnp=sample.is_dbsnp_vcf)
         snvio.pileup_counts(bam, contig, sites)
-        all_sites.extend(sites)
+        all_sites.extend(s for s in sites
+                         if snvio.is_variant_site(s, sample.is_dbsnp_vcf))
     snvio.write_frequencies(out, all_sites)
+    # VFResults baf companion (ConcatenateCanvasSNVBafResults target,
+    # CanvasRunner.cs:677-683)
+    snvio.write_baf_csv(ckpt.path(f"VFResults_{sample.name}.baf"), all_sites)
     return out
 
 

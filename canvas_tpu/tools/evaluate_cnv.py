@@ -97,6 +97,47 @@ def load_truth_bed(
     return out
 
 
+def load_truth_vcf(path: str | Path) -> dict[str, list[TruthInterval]]:
+    """Truth set in VCF form (CNVChecker.LoadKnownCNVCF + ParseCnInterval,
+    :171-253): CN from INFO CN= (x.5 rounds UP) or the sample CN field;
+    END from INFO."""
+    out: dict[str, list[TruthInterval]] = {}
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(str(path), "rt") as f:
+        for line in f:
+            if not line.strip() or line.startswith("#"):
+                continue
+            bits = line.rstrip("\n").split("\t")
+            cn, end = -1, 0
+            for sub in bits[7].split(";"):
+                if sub.startswith("CN="):
+                    v = float(sub[3:])
+                    cn = int(round(v + 0.1)) if sub.endswith(".5") \
+                        else int(round(v))
+                elif sub.startswith("END="):
+                    end = int(sub[4:])
+            if len(bits) > 9:
+                fmt = bits[8].split(":")
+                col = bits[9].split(":")
+                for k, v in zip(fmt, col):
+                    if k == "CN":
+                        cn = int(v)
+            if end == 0 or cn < 0:
+                raise ValueError(f"Invalid VCF truth record: {line!r}")
+            iv = TruthInterval(bits[0], int(bits[1]), end, cn)
+            out.setdefault(iv.chromosome, []).append(iv)
+    return out
+
+
+def load_known_cn(path: str | Path,
+                  heterogeneity_fraction: float = 1.0
+                  ) -> dict[str, list[TruthInterval]]:
+    """LoadKnownCn (:271-283): .bed -> bed loader, else VCF loader."""
+    if str(path).endswith(".bed") or str(path).endswith(".bed.gz"):
+        return load_truth_bed(path, heterogeneity_fraction)
+    return load_truth_vcf(path)
+
+
 def sex_ploidy_fn(ploidy_x: int, ploidy_y: int,
                   par_bed: str | Path | None = None):
     """ploidy_fn(chrom, start, end) from allosome ploidies + X PAR regions
@@ -490,7 +531,7 @@ def evaluate(
     without any overlapping call.  min_entry_size drops truth AND query
     entries spanning fewer bases (CNVChecker.cs:478-482, default 10000 in
     the reference CLI)."""
-    truth = load_truth_bed(truth_path, heterogeneity_fraction)
+    truth = load_known_cn(truth_path, heterogeneity_fraction)
     calls = load_cnv_calls(vcf_path, sample_index=sample_index,
                            ploidy_fn=ploidy_fn, dq_threshold=dq_threshold)
     if min_entry_size > 0:

@@ -278,3 +278,22 @@ def test_load_pca_model_and_orthogonality(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="orthogonal"):
         rt.load_pca_model(bad)
+
+
+def test_is_variant_site_and_baf_csv(tmp_path):
+    from canvas_tpu.io.snv import (SnvSite, is_variant_site, write_baf_csv)
+
+    zero = SnvSite("chr1", 10, "A", "C", 0, 0)
+    refonly = SnvSite("chr1", 20, "A", "C", 8, 0)
+    both = SnvSite("chr1", 30, "T", "G", 6, 2)
+    assert not is_variant_site(zero)
+    assert is_variant_site(refonly)
+    assert not is_variant_site(refonly, is_dbsnp=True)   # dbSNP needs alt
+    assert is_variant_site(both, is_dbsnp=True)
+
+    out = tmp_path / "s.baf"
+    write_baf_csv(out, [zero, both])
+    lines = out.read_text().splitlines()
+    assert lines[0] == "Chromosome,Position,BAF"
+    # zero-depth dropped; T(1) < G(2) -> BAF = ref fraction 0.75
+    assert lines[1] == "chr1,30,0.75"

@@ -344,3 +344,27 @@ def test_callability_metric(tmp_path):
     assert called == 500           # merged 100-600 inside included span
     txt = ec.format_callability(called, total)
     assert "Percent callability\t62.5000" in txt
+
+
+def test_truth_vcf_loader(tmp_path):
+    vcf = tmp_path / "truth.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+        "chr1\t1000\t.\tN\t<CNV>\t.\tPASS\tCN=3;END=2000",
+        "chr1\t5000\t.\tN\t<CNV>\t.\tPASS\tCN=2.5;END=6000",   # rounds UP
+        "chr1\t9000\t.\tN\t<CNV>\t.\tPASS\tCN=1.4;END=9500",   # rounds off
+    ]) + "\n")
+    truth = ec.load_truth_vcf(vcf)
+    assert [iv.cn for iv in truth["chr1"]] == [3, 3, 1]
+    assert truth["chr1"][0].end == 2000
+    # sample CN column wins over INFO
+    vcf2 = tmp_path / "t2.vcf"
+    vcf2.write_text(
+        "chr2\t100\t.\tN\t<CNV>\t.\tPASS\tCN=3;END=900\tGT:CN\t0/1:4\n")
+    assert ec.load_truth_vcf(vcf2)["chr2"][0].cn == 4
+    # dispatcher: .bed -> bed loader, else VCF
+    bed = tmp_path / "truth.bed"
+    bed.write_text("chr1\t0\t100\t1\n")
+    assert ec.load_known_cn(bed)["chr1"][0].cn == 1
+    assert ec.load_known_cn(vcf)["chr1"][0].cn == 3
