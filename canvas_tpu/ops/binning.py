@@ -166,6 +166,61 @@ def bin_contig_device(
     )
 
 
+@partial(jax.jit, static_argnames=("bin_size", "max_bins", "cap",
+                                   "interpret"))
+def bin_contig_device_fused(
+    p_u8: jnp.ndarray,       # uint8 [L] possible flags, zeroed before offset
+    obs_u8: jnp.ndarray,     # uint8 [L] raw observed hit counts
+    gc_u8: jnp.ndarray,      # uint8 [L] G/C base flags
+    offset: jnp.ndarray,     # int32 scalar — leading-n skip (for starts[0])
+    bin_size: int,
+    max_bins: int,
+    cap: int = TRUNCATED_CAP,
+    interpret: bool = False,
+):
+    """Fused-kernel device binning: one Pallas pass computes all three
+    prefix arrays (see ops/prefix_pallas.py), then boundaries/diffs as in
+    bin_contig_device.  Exact for integer coverage modes (TDR cap=10,
+    Binary cap=1, raw uint8 cap=255): per-bin sums are int32 prefix diffs.
+    Returns (start, end, gc_pct, count, valid) padded to max_bins."""
+    from canvas_tpu.ops.prefix_pallas import fused_prefix_sums
+
+    L = p_u8.shape[0]
+    pcum, ocum, gccum = fused_prefix_sums(p_u8, obs_u8, gc_u8,
+                                          cap=cap, interpret=interpret)
+    total = pcum[L - 1]
+    n_bins = total // bin_size
+
+    k = jnp.arange(max_bins, dtype=jnp.int32)
+    valid = k < n_bins
+    targets = (k + 1) * bin_size
+    ends = jnp.searchsorted(pcum, targets, side="left").astype(jnp.int32)
+    ends = jnp.minimum(ends, L - 1)
+    starts = jnp.concatenate([offset[None].astype(jnp.int32), ends[:-1] + 1])
+
+    prev = jnp.maximum(starts - 1, 0)
+    gc_count = gccum[ends] - jnp.where(starts > 0, gccum[prev], 0)
+    nuc = (ends + 1 - starts).astype(jnp.float32)
+    gc_pct = (jnp.float32(100.0) * gc_count.astype(jnp.float32)
+              / nuc).astype(jnp.int32)
+    # obs is masked by `possible` inside the kernel and possible is zeroed
+    # before `offset`, so ocum[offset-1] == 0 and the diff is exact.
+    counts = (ocum[ends]
+              - jnp.where(starts > 0, ocum[prev], 0)).astype(jnp.float32)
+
+    zi = jnp.int32(0)
+    return (
+        jnp.where(valid, starts, zi),
+        jnp.where(valid, ends + 1, zi),
+        jnp.where(valid, gc_pct, zi),
+        jnp.where(valid, counts, 0.0),
+        valid,
+    )
+
+
+_FUSED_CAPS = {"TruncatedDynamicRange": TRUNCATED_CAP, "Binary": 1}
+
+
 def bin_sample(
     tracks: dict[str, dict],
     bin_size: int,
@@ -179,8 +234,29 @@ def bin_sample(
     gc, count) numpy arrays.
     """
     out = {}
+    interpret = jax.default_backend() == "cpu"
     for name, t in tracks.items():
-        if use_device:
+        if use_device and mode in _FUSED_CAPS:
+            # Fused Pallas path: exact int32 prefix diffs, one HBM pass.
+            possible = np.ascontiguousarray(t["possible"]).astype(np.uint8)
+            off = int(t["offset"])
+            if off:
+                possible[:off] = 0
+            obs_u8 = np.asarray(t["observed"], dtype=np.uint8)
+            gc_u8 = np.asarray(t["is_gc"]).astype(np.uint8)
+            total = int(np.count_nonzero(possible))
+            max_bins = max(total // bin_size, 1)
+            s, e, g, c, v = bin_contig_device_fused(
+                jnp.asarray(possible), jnp.asarray(obs_u8),
+                jnp.asarray(gc_u8), jnp.asarray(off, dtype=jnp.int32),
+                bin_size, max_bins, cap=_FUSED_CAPS[mode],
+                interpret=interpret)
+            v = np.asarray(v)
+            out[name] = (np.asarray(s)[v].astype(np.int64),
+                         np.asarray(e)[v].astype(np.int64),
+                         np.asarray(g)[v].astype(np.int16),
+                         np.asarray(c)[v].astype(np.float32))
+        elif use_device:
             possible = np.asarray(t["possible"], dtype=bool)
             obs = np.asarray(t["observed"], dtype=np.float32)
             if mode == "TruncatedDynamicRange":
