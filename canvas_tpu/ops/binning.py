@@ -152,9 +152,16 @@ def bin_contig_device(
     nuc = (ends + 1 - starts).astype(jnp.float32)
     gc_pct = (jnp.float32(100.0) * gc_count.astype(jnp.float32) / nuc).astype(jnp.int32)
 
-    ocum = jnp.cumsum(jnp.where(p, capped_obs, 0.0), dtype=jnp.float32)
-    ocum0 = jnp.concatenate([jnp.zeros(1, jnp.float32), ocum])
-    counts = ocum0[ends + 1] - ocum0[starts]
+    # Per-bin count via segment_sum, NOT diff-of-f32-cumsum: a genome-length
+    # f32 running sum exceeds 2^24 and its cancellation error corrupts bin
+    # counts by up to ~10 (observed at 134M positions).  Bin membership of a
+    # possible position is exact from the int32 prefix: pcum in
+    # (k*bin_size, (k+1)*bin_size] <=> bin k, matching searchsorted ends.
+    bin_id = jnp.where(p, (pcum - 1) // bin_size, max_bins)
+    bin_id = jnp.clip(bin_id, 0, max_bins)
+    counts = jax.ops.segment_sum(
+        jnp.where(p, capped_obs, 0.0), bin_id,
+        num_segments=max_bins + 1)[:max_bins]
 
     zi = jnp.int32(0)
     return (

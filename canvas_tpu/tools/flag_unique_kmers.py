@@ -142,8 +142,37 @@ def _flag_unique_numpy(seqs: dict, n_passes: int) -> dict[str, np.ndarray]:
     return unique_masks
 
 
+def check_flags(kmer_fa_a: str | Path, kmer_fa_b: str | Path,
+                log=print) -> float:
+    """Uniqueness-flag concordance of two kmer.fa files
+    (CheckFlags.ProcessReferenceFASTA, CheckFlags.cs:59-105): per contig,
+    count positions flagged unique in both / only A / only B / neither and
+    report percent agreement.  Returns the final agreement percentage."""
+    a = read_fasta(kmer_fa_a)
+    b = read_fasta(kmer_fa_b)
+    count_ab = count_a = count_b = count_neither = 0
+    for name, bases_a in a.items():
+        if name not in b:
+            continue
+        sa = np.frombuffer(bytes(bases_a), dtype=np.uint8)
+        sb = np.frombuffer(bytes(b[name]), dtype=np.uint8)
+        if len(sa) != len(sb):
+            raise ValueError(f"length mismatch on {name}")
+        ua, ub = sa < ord("a"), sb < ord("a")
+        count_ab += int(np.count_nonzero(ua & ub))
+        count_a += int(np.count_nonzero(ua & ~ub))
+        count_b += int(np.count_nonzero(~ua & ub))
+        count_neither += int(np.count_nonzero(~ua & ~ub))
+        log(f"After {name}: {count_ab},{count_a},{count_b},{count_neither}")
+    total = count_ab + count_a + count_b + count_neither
+    pct = 100.0 * (count_ab + count_neither) / total if total else 100.0
+    log(f"Percent agreement: {pct:.2f}")
+    return pct
+
+
 def main(argv=None) -> int:
-    """CLI: FlagUniqueKmers genome.fa kmer.fa (Tools/FlagUniqueKmers)."""
+    """CLI: FlagUniqueKmers genome.fa kmer.fa (Tools/FlagUniqueKmers), or
+    --check kmerA.fa kmerB.fa for flag concordance (CheckFlags.cs)."""
     import argparse
 
     p = argparse.ArgumentParser(prog="flag_unique_kmers")
@@ -152,8 +181,14 @@ def main(argv=None) -> int:
     p.add_argument("--passes", type=int, default=0,
                    help="key-space passes to bound memory (0 = auto, "
                         "~1 per 250 Mbp)")
+    p.add_argument("--check", action="store_true",
+                   help="compare two kmer.fa files' uniqueness flags "
+                        "instead of building one")
     args = p.parse_args(argv)
-    flag_unique_kmers(args.genome_fa, args.kmer_fa, n_passes=args.passes)
+    if args.check:
+        check_flags(args.genome_fa, args.kmer_fa)
+    else:
+        flag_unique_kmers(args.genome_fa, args.kmer_fa, n_passes=args.passes)
     return 0
 
 

@@ -76,3 +76,19 @@ def test_fused_binning_binary_mode(rng):
     ref = binning.bin_contig_np(p, capped, gc, 64, 0, mode="Binary")
     for a, b in zip(dev, ref):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fallback_device_counts_exact_past_f32_range():
+    """The non-fused device path (GCW/Fragment modes) must not lose count
+    exactness when the genome-length running sum exceeds 2^24 (the old
+    f32 diff-of-cumsum did)."""
+    L = 20_000_000          # cumsum of ones passes 2^24 = 16.7M
+    p = np.ones(L, dtype=bool)
+    obs = np.ones(L, dtype=np.float32)
+    gc = np.zeros(L, dtype=bool)
+    bs = 1_000_000
+    s, e, g, c, v = binning.bin_contig_device(
+        jnp.asarray(p), jnp.asarray(obs), jnp.asarray(gc),
+        jnp.asarray(0, jnp.int32), bs, L // bs)
+    c = np.asarray(c)[np.asarray(v)]
+    np.testing.assert_array_equal(c, np.full(L // bs, float(bs)))

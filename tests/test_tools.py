@@ -368,3 +368,29 @@ def test_truth_vcf_loader(tmp_path):
     bed.write_text("chr1\t0\t100\t1\n")
     assert ec.load_known_cn(bed)["chr1"][0].cn == 1
     assert ec.load_known_cn(vcf)["chr1"][0].cn == 3
+
+
+def test_check_flags_concordance(tmp_path, rng):
+    from canvas_tpu.genome.reference import write_fasta
+    n = 5000
+    seq = "".join(rng.choice(list("ACGT"), size=n))
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, {"chr1": seq})
+    fk.flag_unique_kmers(fa, tmp_path / "k1.fa")
+    fk.flag_unique_kmers(fa, tmp_path / "k2.fa", n_passes=2)
+    logs = []
+    pct = fk.check_flags(tmp_path / "k1.fa", tmp_path / "k2.fa",
+                         log=logs.append)
+    assert pct == 100.0
+    assert any(l.startswith("After chr1:") for l in logs)
+
+    # flip one flag -> agreement drops below 100
+    import numpy as np
+    from canvas_tpu.genome.reference import read_fasta
+    seqs = read_fasta(tmp_path / "k2.fa")
+    b = bytearray(bytes(seqs["chr1"]))
+    b[100] = ord(chr(b[100]).swapcase())
+    write_fasta(tmp_path / "k3.fa", {"chr1": bytes(b)})
+    pct2 = fk.check_flags(tmp_path / "k1.fa", tmp_path / "k3.fa",
+                          log=lambda *_: None)
+    assert pct2 < 100.0
