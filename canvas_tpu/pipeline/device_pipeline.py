@@ -86,13 +86,49 @@ def rate_step(possible: jnp.ndarray, observed: jnp.ndarray) -> jnp.ndarray:
     return n_obs / jnp.maximum(n_pos, 1)
 
 
+@partial(jax.jit, static_argnames=("max_cn",))
+def caller_step(
+    states: jnp.ndarray,   # [C, T] Viterbi state path per lane
+    coverage: jnp.ndarray, # [C, T] normalized bin coverage
+    valid: jnp.ndarray,    # [C, T]
+    max_cn: int = 10,
+) -> jnp.ndarray:
+    """Device diploid-caller assignment (CanvasDiploidCaller.cs:125-179):
+    per Viterbi segment, mean coverage -> nearest CN model, where model
+    coverage = diploidCoverage * CN/2 and distance weight 0.6/diploidCoverage.
+    Per-segment stats use segment_sum over state-change run ids, so the step
+    stays one fused jnp pass under the mesh (the host caller computes exact
+    medians on the final small segment list; the device step is the
+    sharded bulk-assignment analogue).  Returns [C, T] called CN per bin."""
+    C, T = states.shape
+    first = jnp.concatenate(
+        [jnp.ones((C, 1), bool), states[:, 1:] != states[:, :-1]], axis=1)
+    seg_id = jnp.cumsum(first.astype(jnp.int32), axis=1) - 1
+
+    def one(sid, c, v):
+        w = v.astype(jnp.float32)
+        s = jax.ops.segment_sum(c * w, sid, num_segments=T)
+        n = jax.ops.segment_sum(w, sid, num_segments=T)
+        return (s / jnp.maximum(n, 1.0))[sid]
+
+    seg_cov = jax.vmap(one)(seg_id, coverage, valid)          # [C, T]
+    diploid_cov = (jnp.sum(jnp.where(valid, coverage, 0.0))
+                   / jnp.maximum(jnp.sum(valid), 1))          # collective
+    weight = 0.6 / jnp.maximum(diploid_cov, 1e-6)
+    cn = jnp.arange(max_cn + 1, dtype=jnp.float32)
+    model_cov = diploid_cov * cn / 2.0
+    d = ((model_cov[None, None] - seg_cov[..., None]) * weight) ** 2
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
 def full_pipeline_step(
     possible, observed, is_gc, offsets, bin_size: int, max_bins: int,
     log_tables, log_trans, log_init):
-    """Binning -> per-lane bin counts -> global median scale -> Viterbi.
+    """Binning -> per-lane bin counts -> global scale -> Viterbi -> caller.
 
-    One fused step from position tracks to copy-number paths, used by the
-    multi-chip dryrun; every stage is plain jnp so sharding propagates.
+    One fused step from position tracks to per-bin called copy numbers,
+    used by the multi-chip dryrun; every stage is plain jnp so sharding
+    propagates and cross-lane reductions become collectives.
     """
     capped = jnp.where(possible, jnp.minimum(observed, 10.0), 0.0)
     start, end, gc, counts, valid = binning_step(
@@ -104,4 +140,5 @@ def full_pipeline_step(
     norm = counts * (100.0 / jnp.maximum(mean_count, 1e-6))
     states = segmentation_step(
         norm[..., None], valid, log_tables, log_trans, log_init)
-    return states, (start, end, gc, counts, valid)
+    called_cn = caller_step(states, norm, valid)
+    return states, called_cn, (start, end, gc, counts, valid)
