@@ -77,37 +77,55 @@ def bin_contig_np(
     mode: str = "TruncatedDynamicRange",
     gc_weights: np.ndarray | None = None,
 ):
-    """Reference-parallel numpy binning.  Returns (start, end, gc, count)."""
-    L = len(possible)
-    possible = possible[offset:].astype(bool)
-    pcum = np.cumsum(possible, dtype=np.int64)
+    """Reference-parallel numpy binning.  Returns (start, end, gc, count).
+
+    Narrow dtypes and sampled inclusive cumsums keep this memory-bound pass
+    cheap at genome scale (the previous int64/f64 cumsums + full-length
+    prepend copies cost ~25s per 60 Mbp contig on 2 vCPU; this form ~1s).
+    The uint32 observed-cumsum may wrap on huge contigs — safe, because
+    per-bin counts are prefix *differences*, exact under modular arithmetic
+    (each bin sum <= cap*bin_size << 2^31); pcum itself never wraps
+    (contig length < 2^31) so searchsorted stays monotone."""
+    possible = np.asarray(possible)[offset:].astype(bool, copy=False)
+    pcum = possible.cumsum(dtype=np.int32)
     total = int(pcum[-1]) if len(pcum) else 0
     n_bins = total // bin_size
     if n_bins == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z.astype(np.int16), z.astype(np.float32)
-    targets = np.arange(1, n_bins + 1, dtype=np.int64) * bin_size
+    targets = np.arange(1, n_bins + 1, dtype=np.int32) * bin_size
     ends_rel = np.searchsorted(pcum, targets, side="left")  # boundary pos (rel)
     ends = ends_rel + offset                                # inclusive boundary
     starts = np.concatenate([[offset], ends[:-1] + 1])
 
-    gccum = np.concatenate([[0], np.cumsum(is_gc.astype(np.int64))])
-    gc_count = gccum[ends + 1] - gccum[starts]
+    gccum = np.asarray(is_gc).cumsum(dtype=np.int32)        # inclusive
+    prev = np.maximum(starts - 1, 0)
+    gc_count = gccum[ends] - np.where(starts > 0, gccum[prev], 0)
     nuc_count = (ends + 1) - starts
     gc_pct = (np.float32(100.0) * gc_count.astype(np.float32)
               / nuc_count.astype(np.float32)).astype(np.int16)
 
-    obs = observed.astype(np.float64)
-    if mode == "TruncatedDynamicRange":
-        vals = np.where(possible, np.minimum(obs[offset:], TRUNCATED_CAP), 0.0)
-    elif mode == "GCContentWeighted":
+    observed = np.asarray(observed)
+    if mode == "GCContentWeighted":
         assert gc_weights is not None
         vals = np.where(
-            possible, np.minimum(TRUNCATED_CAP, obs[offset:] / gc_weights[offset:]), 0.0)
-    else:  # Binary / Fragment: raw sum
-        vals = np.where(possible, obs[offset:], 0.0)
-    ocum = np.concatenate([[0.0], np.cumsum(vals)])
-    counts = ocum[ends_rel + 1] - ocum[np.concatenate([[0], ends_rel[:-1] + 1])]
+            possible,
+            np.minimum(TRUNCATED_CAP,
+                       observed[offset:].astype(np.float64)
+                       / gc_weights[offset:]), 0.0)
+        ocum = vals.cumsum()                                # inclusive f64
+    else:
+        o = observed[offset:]
+        if mode == "TruncatedDynamicRange":
+            o = np.minimum(o, TRUNCATED_CAP)
+        if np.issubdtype(o.dtype, np.integer):
+            ocum = np.where(possible, o, 0).cumsum(dtype=np.uint32)
+        else:  # float-typed counts (e.g. fragment tracks): exact in f64
+            ocum = np.where(possible, o.astype(np.float64), 0.0).cumsum()
+    ce = ocum[ends_rel]                                     # per-bin prefixes
+    # diff in the cumsum dtype FIRST: uint32 subtraction wraps modularly,
+    # which is what makes a wrapped prefix still yield exact bin sums
+    counts = np.diff(ce, prepend=ce.dtype.type(0)).astype(np.float64)
     if mode == "GCContentWeighted":
         counts = np.round(counts)  # banker's rounding, matches C# Math.Round
     return starts, ends + 1, gc_pct, counts.astype(np.float32)
@@ -233,17 +251,25 @@ def bin_sample(
     bin_size: int,
     mode: str = "TruncatedDynamicRange",
     use_device: bool = True,
+    force_fused: bool | None = None,
 ):
     """Bin all contigs of one sample.
 
     `tracks[contig]` holds {"possible": bool[L], "observed": uint8[L],
     "is_gc": bool[L], "offset": int}.  Returns dict contig -> (start, end,
     gc, count) numpy arrays.
+
+    The fused Pallas kernel runs on TPU only: in CPU interpret mode it is
+    orders of magnitude slower than the XLA path, and both are exact
+    (int32 prefixes / per-bin segment sums), so outputs are identical.
+    `force_fused` overrides for tests.
     """
     out = {}
-    interpret = jax.default_backend() == "cpu"
+    on_cpu = jax.default_backend() == "cpu"
+    use_fused = (not on_cpu) if force_fused is None else force_fused
+    interpret = on_cpu
     for name, t in tracks.items():
-        if use_device and mode in _FUSED_CAPS:
+        if use_device and use_fused and mode in _FUSED_CAPS:
             # Fused Pallas path: exact int32 prefix diffs, one HBM pass.
             possible = np.ascontiguousarray(t["possible"]).astype(np.uint8)
             off = int(t["offset"])
@@ -263,6 +289,15 @@ def bin_sample(
                          np.asarray(e)[v].astype(np.int64),
                          np.asarray(g)[v].astype(np.int16),
                          np.asarray(c)[v].astype(np.float32))
+        elif use_device and on_cpu and mode in _FUSED_CAPS:
+            # CPU backend: the exact numpy path (int-valued f64 cumsum)
+            # is byte-identical to the TPU fused kernel for these integer
+            # modes and ~10x faster than XLA-on-CPU here.
+            obs = np.asarray(t["observed"])
+            if mode == "Binary":
+                obs = np.minimum(obs, 1)
+            out[name] = bin_contig_np(
+                t["possible"], obs, t["is_gc"], bin_size, t["offset"], mode)
         elif use_device:
             possible = np.asarray(t["possible"], dtype=bool)
             obs = np.asarray(t["observed"], dtype=np.float32)

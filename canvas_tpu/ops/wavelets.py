@@ -74,16 +74,22 @@ def decompose(x: np.ndarray) -> tuple[list[np.ndarray], float]:
         children = []
         for node in level:
             idx, _, start, split, end = node
+            # node ids double per level exactly like the reference
+            # (WaveletSegmentation.cs:318,350); on very deep trees they
+            # saturate to inf in float64 there too — the id column is
+            # never consumed, so silence the benign overflow warning.
+            with np.errstate(over="ignore"):
+                left_id, right_id = 2 * idx - 1, 2 * idx
             # left child: [start, split], needs >= 2 points
             if split - start >= 1:
                 lo, hi = int(start) - 1, int(split)
                 ci, _, cc = _best_split(x[lo:hi])
-                children.append([2 * idx - 1, cc, start, ci + start - 1, split])
+                children.append([left_id, cc, start, ci + start - 1, split])
             # right child: [split+1, end], needs >= 2 points
             if end - split >= 2:
                 lo, hi = int(split), int(end)
                 ci, _, cc = _best_split(x[lo:hi])
-                children.append([2 * idx, cc, split + 1, ci + split, end])
+                children.append([right_id, cc, split + 1, ci + split, end])
         tree.append(np.asarray(children, dtype=np.float64))
         j += 1
     smooth = float(np.sum(x) / np.sqrt(n))

@@ -56,7 +56,8 @@ def test_fused_binning_multiblock_matches_np(rng):
     offset = 173
     p[:offset] = False
     tracks = {"c": dict(possible=p, observed=obs, is_gc=gc, offset=offset)}
-    dev = binning.bin_sample(tracks, 97, use_device=True)["c"]
+    dev = binning.bin_sample(tracks, 97, use_device=True,
+                             force_fused=True)["c"]
     ref = binning.bin_contig_np(p, obs, gc, 97, offset)
     for a, b in zip(dev, ref):
         np.testing.assert_array_equal(a, b)
@@ -68,7 +69,8 @@ def test_fused_binning_binary_mode(rng):
     obs = rng.poisson(2.0, L).astype(np.uint8)
     gc = rng.random(L) < 0.5
     tracks = {"c": dict(possible=p, observed=obs, is_gc=gc, offset=0)}
-    dev = binning.bin_sample(tracks, 64, mode="Binary", use_device=True)["c"]
+    dev = binning.bin_sample(tracks, 64, mode="Binary", use_device=True,
+                             force_fused=True)["c"]
     ref = binning.bin_contig_np(p, obs, gc, 64, 0, mode="Binary")
     # Binary mode: np path sums raw obs where the reference caps at 1;
     # compare against an explicit capped oracle instead.
