@@ -54,12 +54,55 @@ def _best_split(x: np.ndarray) -> tuple[int, float, float]:
     return ind, ip[ind - 1], coeff
 
 
+def _best_splits_batch(x: np.ndarray, lo: np.ndarray,
+                       lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized _best_split over many spans of x at once.
+
+    Spans are bucketed by next-power-of-two length and padded to 2-D
+    rectangles so each row's cumsum runs in the SAME sequential order as
+    np.cumsum over the 1-D slice — results are bit-identical to calling
+    _best_split per span, but without the per-node Python dispatch (the
+    tree has ~n nodes; per-node calls cost ~14s at 500k bins).
+
+    lo: 0-based span starts; lens >= 2.  Returns (ind 1-based, coeff)."""
+    k = len(lo)
+    ind = np.empty(k, dtype=np.int64)
+    coeff = np.empty(k, dtype=np.float64)
+    if k == 0:
+        return ind, coeff
+    buck = np.maximum(np.ceil(np.log2(lens)).astype(np.int64), 1)
+    for b in np.unique(buck):
+        sel = np.flatnonzero(buck == b)
+        Lb = 1 << int(b)
+        ls = lens[sel]
+        rows = lo[sel][:, None] + np.arange(Lb, dtype=np.int64)[None, :]
+        in_span = np.arange(Lb, dtype=np.int64)[None, :] < ls[:, None]
+        X = np.where(in_span, x[np.minimum(rows, len(x) - 1)], 0.0)
+        cs = np.cumsum(X, axis=1)
+        nn = ls.astype(np.float64)[:, None]
+        total = cs[np.arange(len(sel)), ls - 1][:, None]
+        mcol = np.arange(1, Lb, dtype=np.float64)[None, :]
+        left = cs[:, :-1]
+        right = total - left
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ip = (np.sqrt(1.0 / mcol - 1.0 / nn) * left
+                  - right / np.sqrt(nn * nn / mcol - nn))
+        absip = np.where(mcol < nn, np.abs(ip), -np.inf)
+        a = np.argmax(absip, axis=1)            # first max, like flatnonzero
+        ind[sel] = a + 1
+        mean = total[:, 0] / nn[:, 0]
+        coeff[sel] = (ip[np.arange(len(sel)), a]
+                      / np.maximum(0.5, mean / MEAN_SCALE))
+    return ind, coeff
+
+
 def decompose(x: np.ndarray) -> tuple[list[np.ndarray], float]:
     """Top-down decomposition.  Returns (tree, smooth).
 
     tree[j] is a [K_j, 5] float array of nodes (index, coeff, start, split,
     end) with the reference's 1-based inclusive conventions: the node covers
     x[start-1 .. end-1]; `split` is the last point of the left child.
+    Each level's best splits are computed in one batched pass.
     """
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
@@ -71,26 +114,27 @@ def decompose(x: np.ndarray) -> tuple[list[np.ndarray], float]:
         # done when every node's left/right children are single points
         if np.sum(level[:, 4] - level[:, 2] - 1.0) == 0:
             break
-        children = []
-        for node in level:
-            idx, _, start, split, end = node
-            # node ids double per level exactly like the reference
-            # (WaveletSegmentation.cs:318,350); on very deep trees they
-            # saturate to inf in float64 there too — the id column is
-            # never consumed, so silence the benign overflow warning.
-            with np.errstate(over="ignore"):
-                left_id, right_id = 2 * idx - 1, 2 * idx
-            # left child: [start, split], needs >= 2 points
-            if split - start >= 1:
-                lo, hi = int(start) - 1, int(split)
-                ci, _, cc = _best_split(x[lo:hi])
-                children.append([left_id, cc, start, ci + start - 1, split])
-            # right child: [split+1, end], needs >= 2 points
-            if end - split >= 2:
-                lo, hi = int(split), int(end)
-                ci, _, cc = _best_split(x[lo:hi])
-                children.append([right_id, cc, split + 1, ci + split, end])
-        tree.append(np.asarray(children, dtype=np.float64))
+        idxs, starts = level[:, 0], level[:, 2]
+        splits, ends = level[:, 3], level[:, 4]
+        # node ids double per level exactly like the reference
+        # (WaveletSegmentation.cs:318,350); on very deep trees they
+        # saturate to inf in float64 there too — the id column is
+        # never consumed, so silence the benign overflow warning.
+        with np.errstate(over="ignore"):
+            lid, rid = 2 * idxs - 1, 2 * idxs
+        pl = np.flatnonzero(splits - starts >= 1)   # left child >= 2 points
+        pr = np.flatnonzero(ends - splits >= 2)     # right child >= 2 points
+        # per-parent (left, right) order like the sequential construction
+        order = np.argsort(np.concatenate([pl * 2, pr * 2 + 1]),
+                           kind="stable")
+        c_id = np.concatenate([lid[pl], rid[pr]])[order]
+        c_start = np.concatenate([starts[pl], splits[pr] + 1])[order]
+        c_end = np.concatenate([splits[pl], ends[pr]])[order]
+        lo = (c_start - 1).astype(np.int64)
+        lens = (c_end - c_start + 1).astype(np.int64)
+        ci, cc = _best_splits_batch(x, lo, lens)
+        tree.append(np.stack(
+            [c_id, cc, c_start, ci + c_start - 1, c_end], axis=1))
         j += 1
     smooth = float(np.sum(x) / np.sqrt(n))
     return tree, smooth
@@ -223,14 +267,22 @@ def segment_coverage(
 
     Note the reference passes thresholdLowerMaf (0.05) as ThresholdLower
     for coverage too (WaveletsRunnerParams ctor, :35) — reproduced.
+    Contigs run on a thread pool (the reference's Parallel.ForEach,
+    WaveletsRunner.cs:89-135); the numpy inner loops release the GIL.
     """
-    out: dict[str, list[int]] = {}
-    for name, cov in coverage_by_contig.items():
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(cov) -> list[int]:
         cov = np.asarray(cov, dtype=np.float64)
         if max(len(cov), 1) > min_size:
-            out[name] = haar_wavelets(
+            return haar_wavelets(
                 cov, threshold_lower, threshold_upper, is_germline,
                 mad_factor, coeff_variability, factor_of_three_cmads)
-        else:
-            out[name] = []
-    return out
+        return []
+
+    names = list(coverage_by_contig)
+    with ThreadPoolExecutor(max_workers=min(len(names) or 1,
+                                            os.cpu_count() or 1)) as ex:
+        results = ex.map(one, (coverage_by_contig[n] for n in names))
+    return dict(zip(names, results))
