@@ -45,12 +45,23 @@ def load_het_snvs(
     vcf_path: str | Path, chromosome: str, sample_name: str | None = None,
     is_somatic: bool = False, is_dbsnp: bool = False,
 ) -> list[SnvSite]:
-    """LoadVariants (SNVReviewer.cs:86-152)."""
-    sites: list[SnvSite] = []
+    """LoadVariants (SNVReviewer.cs:86-152) for one chromosome."""
+    return load_het_snvs_multi(vcf_path, [chromosome], sample_name,
+                               is_somatic, is_dbsnp).get(chromosome, [])
+
+
+def load_het_snvs_multi(
+    vcf_path: str | Path, chromosomes: list[str],
+    sample_name: str | None = None,
+    is_somatic: bool = False, is_dbsnp: bool = False,
+) -> dict[str, list[SnvSite]]:
+    """LoadVariants for many chromosomes in ONE VCF pass (the reference
+    spawns one CanvasSNV process per chromosome, each re-reading the VCF;
+    here the dict of per-chromosome site lists comes from a single scan)."""
+    wanted = set(chromosomes)
+    sites: dict[str, list[SnvSite]] = {c: [] for c in chromosomes}
     opener = gzip.open if str(vcf_path).endswith(".gz") else open
     sample_idx = 0
-    format_cols: list[str] = []
-    count_this_chrom = 0
     with opener(str(vcf_path), "rt") as f:
         for line in f:
             if line.startswith("##"):
@@ -67,11 +78,8 @@ def load_het_snvs(
                     raise ValueError("multi-sample VCF requires sample_name")
                 continue
             fields = line.rstrip("\n").split("\t")
-            if fields[0] != chromosome:
-                if count_this_chrom > 0:
-                    break
+            if fields[0] not in wanted:
                 continue
-            count_this_chrom += 1
             ref, alts = fields[3], fields[4].split(",")
             if len(alts) != 1 or len(alts[0]) != 1 or len(ref) != 1:
                 continue
@@ -97,8 +105,49 @@ def load_het_snvs(
                 else:
                     if not (is_het or is_homalt):
                         continue
-            sites.append(SnvSite(fields[0], int(fields[1]), ref, alts[0]))
+            sites[fields[0]].append(
+                SnvSite(fields[0], int(fields[1]), ref, alts[0]))
     return sites
+
+
+def pileup_counts_native(
+    bam_path: str | Path,
+    sites_by_chrom: dict[str, list[SnvSite]],
+    min_mapq: int = 0,
+) -> bool:
+    """One native streaming-BAM pileup pass over all chromosomes (fills the
+    SnvSite counts in place).  Returns False when the native scanner is
+    unavailable — callers fall back to the Python pileup."""
+    from canvas_tpu import native
+
+    if not native.available():
+        return False
+    refs = native.read_bam_refs(str(bam_path))
+    if refs is None:
+        return False
+    ref_index = {name: i for i, (name, _) in enumerate(refs)}
+    sites_by_ref = {}
+    ordered: dict[int, list[SnvSite]] = {}
+    for chrom, sites in sites_by_chrom.items():
+        if chrom not in ref_index or not sites:
+            continue
+        r = ref_index[chrom]
+        ordered[r] = sites
+        sites_by_ref[r] = (
+            np.array([s.position - 1 for s in sites], dtype=np.int64),
+            [s.ref for s in sites], [s.alt for s in sites])
+    if not sites_by_ref:
+        return True
+    res = native.pileup_sites_all(str(bam_path), sites_by_ref, len(refs),
+                                  min_mapq=min_mapq,
+                                  min_baseq=MIN_BASE_QSCORE)
+    if res is None:
+        return False
+    for r, (cr, ca) in res.items():
+        for i, s in enumerate(ordered[r]):
+            s.count_ref = int(cr[i])
+            s.count_alt = int(ca[i])
+    return True
 
 
 def pileup_counts(

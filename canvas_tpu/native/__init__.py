@@ -41,6 +41,18 @@ def _load():
             ctypes.c_char_p, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.scan_read_starts_all.restype = ctypes.c_int64
+        lib.scan_read_starts_all.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.pileup_sites_all.restype = ctypes.c_int64
+        lib.pileup_sites_all.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
         lib.read_bam_header.restype = ctypes.c_int32
         lib.read_bam_header.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
@@ -155,3 +167,86 @@ def scan_read_starts(
     if kept < 0:
         return None
     return observed
+
+
+def scan_read_starts_all(
+    path: str, ref_lengths: list[int],
+    paired_end: bool = True, binary_mode: bool = False,
+    n_threads: int = 0,
+) -> list[np.ndarray] | None:
+    """One streaming pass over the whole BAM counting read starts for ALL
+    references (vs per-contig re-reads).  Returns one uint8 array per
+    reference (aligned with ref_lengths), or None when unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.zeros(len(ref_lengths) + 1, dtype=np.int64)
+    np.cumsum(ref_lengths, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    kept = lib.scan_read_starts_all(
+        path.encode(),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ref_lengths), int(paired_end), int(binary_mode), n_threads)
+    if kept < 0:
+        return None
+    return [flat[offsets[i]:offsets[i + 1]] for i in range(len(ref_lengths))]
+
+
+_BASE_CODE = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15}
+
+
+def pileup_sites_all(
+    path: str,
+    sites_by_ref: dict[int, tuple[np.ndarray, list[str], list[str]]],
+    n_refs: int,
+    min_mapq: int = 10,
+    min_baseq: int = 20,
+    n_threads: int = 0,
+) -> dict[int, tuple[np.ndarray, np.ndarray]] | None:
+    """Native CanvasSNV pileup (SNVReviewer.cs:172-271): one streaming BAM
+    pass counting ref/alt bases at sorted het sites for all references.
+
+    sites_by_ref: ref_index -> (0-based positions int64 sorted, ref bases,
+    alt bases).  Returns ref_index -> (count_ref, count_alt) int32 arrays,
+    or None when the native path is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.zeros(n_refs + 1, dtype=np.int64)
+    pos_parts, rc_parts, ac_parts = [], [], []
+    for r in range(n_refs):
+        if r in sites_by_ref:
+            pos, refs, alts = sites_by_ref[r]
+            pos_parts.append(np.asarray(pos, dtype=np.int64))
+            rc_parts.append(np.array(
+                [_BASE_CODE.get(b.upper(), 0) for b in refs], np.uint8))
+            ac_parts.append(np.array(
+                [_BASE_CODE.get(b.upper(), 0) for b in alts], np.uint8))
+            offsets[r + 1] = offsets[r] + len(pos_parts[-1])
+        else:
+            offsets[r + 1] = offsets[r]
+    total = int(offsets[-1])
+    positions = (np.concatenate(pos_parts) if pos_parts
+                 else np.zeros(0, np.int64))
+    ref_codes = (np.concatenate(rc_parts) if rc_parts
+                 else np.zeros(0, np.uint8))
+    alt_codes = (np.concatenate(ac_parts) if ac_parts
+                 else np.zeros(0, np.uint8))
+    count_ref = np.zeros(total, dtype=np.int32)
+    count_alt = np.zeros(total, dtype=np.int32)
+    used = lib.pileup_sites_all(
+        path.encode(),
+        positions.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_refs,
+        ref_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        alt_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        count_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        count_alt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(min_mapq), int(min_baseq), n_threads)
+    if used < 0:
+        return None
+    return {r: (count_ref[offsets[r]:offsets[r + 1]],
+                count_alt[offsets[r]:offsets[r + 1]])
+            for r in range(n_refs) if offsets[r + 1] > offsets[r]}

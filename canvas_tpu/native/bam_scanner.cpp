@@ -1,17 +1,25 @@
 // Native BAM scanner — the production ingest path for canvas_tpu.
 //
-// Replaces the Python BGZF/record walk with a multithreaded C++ pass:
-//   * BGZF blocks are decompressed in parallel with zlib raw inflate;
-//   * records are scanned once, applying the CanvasBin read-start filter
-//     (mapped, pass-filter, non-duplicate, forward, primary, CIGAR >= 35M,
-//     proper pair; CanvasBin.cs:239-267) and incrementing the per-contig
-//     observed[] byte array (saturating at 255);
-//   * also exposes a generic record visitor used for fragment counting.
+// Replaces the Python BGZF/record walk with a streaming multithreaded C++
+// pass (the reference's equivalent, Isas.SequencingFiles BamReader, was
+// compiled code too):
+//   * the file is read in bounded windows; each window's BGZF blocks are
+//     decompressed in parallel with zlib raw inflate, so memory stays
+//     O(window), not O(file) — a 60x WGS BAM never lives in RAM;
+//   * records are scanned once per call for ALL contigs:
+//       - scan_read_starts_all: the CanvasBin read-start filter (mapped,
+//         pass-filter, non-duplicate, forward, primary, CIGAR >= 35M,
+//         proper pair; CanvasBin.cs:239-267), incrementing per-contig
+//         observed[] byte arrays (saturating at 255);
+//       - pileup_sites_all: the CanvasSNV base pileup (SNVReviewer.cs
+//         ProcessBamFile/ProcessReadBases :172-271): MAPQ > min, baseQ >=
+//         20, CIGAR M-walk, ref/alt base counting at sorted het sites.
+//   * single-contig wrappers keep the older ABI.
 //
 // Exposed via a C ABI and loaded with ctypes (no pybind11 in this image).
 //
-// Build: g++ -O3 -march=native -shared -fPIC -o libbam_scanner.so
-//        bam_scanner.cpp -lz -lpthread
+// Build: g++ -O3 -shared -fPIC -o libbam_scanner.so bam_scanner.cpp -lz
+//        -lpthread
 
 #include <zlib.h>
 
@@ -25,24 +33,32 @@
 
 namespace {
 
+constexpr size_t RAW_WINDOW = 32u << 20;  // compressed bytes per read()
+
 struct Block {
-    size_t file_offset;
+    size_t raw_offset;     // within the current raw window
     size_t comp_size;      // total BGZF block size
     size_t uncomp_size;    // ISIZE
-    size_t out_offset;     // position in the decompressed stream
+    size_t out_offset;     // within the window's decoded append region
 };
 
-// Parse BGZF block boundaries from the raw file bytes.
-static bool index_blocks(const uint8_t* data, size_t n,
-                         std::vector<Block>& blocks) {
+// Parse BGZF block boundaries available in raw[0:n]; stops at a partial
+// trailing block.  Returns bytes consumed (sum of complete block sizes).
+static size_t index_blocks(const uint8_t* data, size_t n,
+                           std::vector<Block>& blocks, size_t& out_total,
+                           bool& bad) {
     size_t pos = 0;
-    size_t out = 0;
+    bad = false;
     while (pos + 18 <= n) {
-        if (data[pos] != 0x1f || data[pos + 1] != 0x8b) return false;
+        if (data[pos] != 0x1f || data[pos + 1] != 0x8b) {
+            bad = true;
+            break;
+        }
         uint16_t xlen;
         std::memcpy(&xlen, data + pos + 10, 2);
         size_t epos = pos + 12;
         size_t eend = epos + xlen;
+        if (eend > n) break;  // partial header
         uint32_t bsize = 0;
         while (epos + 4 <= eend) {
             uint8_t si1 = data[epos], si2 = data[epos + 1];
@@ -55,22 +71,24 @@ static bool index_blocks(const uint8_t* data, size_t n,
             }
             epos += 4 + slen;
         }
-        if (bsize == 0) return false;
+        if (bsize == 0) {
+            bad = true;
+            break;
+        }
+        if (pos + bsize > n) break;  // partial block
         uint32_t isize;
         std::memcpy(&isize, data + pos + bsize - 4, 4);
-        blocks.push_back({pos, bsize, isize, out});
-        out += isize;
+        blocks.push_back({pos, bsize, isize, out_total});
+        out_total += isize;
         pos += bsize;
     }
-    return pos == n;
+    return pos;
 }
 
-static bool inflate_block(const uint8_t* src, const Block& b, uint8_t* dst) {
-    // payload starts after the 12-byte header + XLEN extra, ends before
-    // CRC32+ISIZE footer
+static bool inflate_block(const uint8_t* raw, const Block& b, uint8_t* dst) {
     uint16_t xlen;
-    std::memcpy(&xlen, src + b.file_offset + 10, 2);
-    const uint8_t* payload = src + b.file_offset + 12 + xlen;
+    std::memcpy(&xlen, raw + b.raw_offset + 10, 2);
+    const uint8_t* payload = raw + b.raw_offset + 12 + xlen;
     size_t payload_len = b.comp_size - 12 - xlen - 8;
     z_stream zs{};
     if (inflateInit2(&zs, -15) != Z_OK) return false;
@@ -84,42 +102,106 @@ static bool inflate_block(const uint8_t* src, const Block& b, uint8_t* dst) {
            (b.uncomp_size == 0);
 }
 
-struct Decompressed {
-    std::vector<uint8_t> data;
-    bool ok = false;
+// Streaming BGZF reader: bounded raw window + decoded carry buffer.
+class BamStream {
+  public:
+    explicit BamStream(const char* path, int n_threads)
+        : nt_(n_threads > 0
+                  ? n_threads
+                  : static_cast<int>(std::thread::hardware_concurrency())) {
+        if (nt_ < 1) nt_ = 1;
+        f_ = std::fopen(path, "rb");
+    }
+    ~BamStream() {
+        if (f_) std::fclose(f_);
+    }
+    bool ok() const { return f_ != nullptr && !bad_; }
+
+    // Ensure >= want decoded-but-unconsumed bytes (unless EOF).  Returns
+    // the number available.
+    size_t ensure(size_t want) {
+        while (dec_.size() - dec_pos_ < want && !(eof_ && raw_len_ == 0)) {
+            if (!fill()) break;
+        }
+        return dec_.size() - dec_pos_;
+    }
+    const uint8_t* data() const { return dec_.data() + dec_pos_; }
+    void consume(size_t n) { dec_pos_ += n; }
+    bool failed() const { return bad_; }
+
+  private:
+    bool fill() {
+        // compact consumed decoded bytes
+        if (dec_pos_ > 0) {
+            dec_.erase(dec_.begin(),
+                       dec_.begin() + static_cast<ptrdiff_t>(dec_pos_));
+            dec_pos_ = 0;
+        }
+        // top up the raw window
+        if (!eof_) {
+            size_t old = raw_len_;
+            raw_.resize(old + RAW_WINDOW);
+            size_t got = std::fread(raw_.data() + old, 1, RAW_WINDOW, f_);
+            raw_len_ = old + got;
+            raw_.resize(raw_len_);
+            if (got < RAW_WINDOW) eof_ = true;
+        }
+        if (raw_len_ == 0) return false;
+        std::vector<Block> blocks;
+        size_t out_total = 0;
+        bool bad = false;
+        size_t consumed = index_blocks(raw_.data(), raw_len_, blocks,
+                                       out_total, bad);
+        if (bad || (blocks.empty() && eof_)) {
+            if (bad) bad_ = true;
+            raw_len_ = 0;
+            raw_.clear();
+            return false;
+        }
+        if (blocks.empty()) return !eof_;
+        size_t base = dec_.size();
+        dec_.resize(base + out_total);
+        std::atomic<size_t> next{0};
+        std::atomic<bool> ok{true};
+        auto worker = [&]() {
+            for (;;) {
+                size_t i = next.fetch_add(1);
+                if (i >= blocks.size()) break;
+                if (blocks[i].uncomp_size == 0) continue;
+                if (!inflate_block(raw_.data(), blocks[i],
+                                   dec_.data() + base))
+                    ok.store(false);
+            }
+        };
+        int nt = nt_ > static_cast<int>(blocks.size())
+                     ? static_cast<int>(blocks.size())
+                     : nt_;
+        std::vector<std::thread> threads;
+        for (int t = 1; t < nt; t++) threads.emplace_back(worker);
+        worker();
+        for (auto& th : threads) th.join();
+        if (!ok.load()) {
+            bad_ = true;
+            return false;
+        }
+        // keep the unconsumed raw tail
+        std::memmove(raw_.data(), raw_.data() + consumed,
+                     raw_len_ - consumed);
+        raw_len_ -= consumed;
+        raw_.resize(raw_len_);
+        return true;
+    }
+
+    FILE* f_ = nullptr;
+    int nt_;
+    std::vector<uint8_t> raw_;
+    size_t raw_len_ = 0;
+    bool eof_ = false;
+    bool bad_ = false;
+    std::vector<uint8_t> dec_;
+    size_t dec_pos_ = 0;
 };
 
-static Decompressed decompress_bgzf(const uint8_t* raw, size_t n,
-                                    int n_threads) {
-    Decompressed out;
-    std::vector<Block> blocks;
-    if (!index_blocks(raw, n, blocks)) return out;
-    size_t total = blocks.empty()
-                       ? 0
-                       : blocks.back().out_offset + blocks.back().uncomp_size;
-    out.data.resize(total);
-    std::atomic<size_t> next{0};
-    std::atomic<bool> ok{true};
-    auto worker = [&]() {
-        for (;;) {
-            size_t i = next.fetch_add(1);
-            if (i >= blocks.size()) break;
-            if (blocks[i].uncomp_size == 0) continue;
-            if (!inflate_block(raw, blocks[i], out.data.data()))
-                ok.store(false);
-        }
-    };
-    int nt = n_threads > 0 ? n_threads
-                           : static_cast<int>(std::thread::hardware_concurrency());
-    if (nt < 1) nt = 1;
-    std::vector<std::thread> threads;
-    for (int t = 0; t < nt; t++) threads.emplace_back(worker);
-    for (auto& th : threads) th.join();
-    out.ok = ok.load();
-    return out;
-}
-
-constexpr uint16_t FLAG_PAIRED = 0x1;
 constexpr uint16_t FLAG_PROPER = 0x2;
 constexpr uint16_t FLAG_UNMAPPED = 0x4;
 constexpr uint16_t FLAG_REVERSE = 0x10;
@@ -128,153 +210,249 @@ constexpr uint16_t FLAG_FAILQC = 0x200;
 constexpr uint16_t FLAG_DUP = 0x400;
 constexpr uint16_t FLAG_SUPPL = 0x800;
 
+// Parse the BAM header from a stream; fills lengths/names if non-null.
+// Returns n_ref, or -1 on error.  Leaves the stream at the first record.
+static int32_t parse_header(BamStream& s, int64_t* lengths, char* names_buf,
+                            int64_t names_buf_size, int32_t max_refs) {
+    if (s.ensure(12) < 12) return -1;
+    if (std::memcmp(s.data(), "BAM\x01", 4) != 0) return -1;
+    int32_t l_text;
+    std::memcpy(&l_text, s.data() + 4, 4);
+    size_t need = 8 + static_cast<size_t>(l_text) + 4;
+    if (s.ensure(need) < need) return -1;
+    int32_t n_ref;
+    std::memcpy(&n_ref, s.data() + 8 + l_text, 4);
+    s.consume(need);
+    int64_t name_off = 0;
+    for (int32_t i = 0; i < n_ref; i++) {
+        if (s.ensure(4) < 4) return -1;
+        int32_t l_name;
+        std::memcpy(&l_name, s.data(), 4);
+        size_t entry = 4 + static_cast<size_t>(l_name) + 4;
+        if (s.ensure(entry) < entry) return -1;
+        if (i < max_refs) {
+            if (names_buf && name_off + l_name <= names_buf_size) {
+                std::memcpy(names_buf + name_off, s.data() + 4,
+                            static_cast<size_t>(l_name));
+                name_off += l_name;  // includes the NUL
+            }
+            int32_t l_ref;
+            std::memcpy(&l_ref, s.data() + 4 + l_name, 4);
+            if (lengths) lengths[i] = l_ref;
+        }
+        s.consume(entry);
+    }
+    return n_ref;
+}
+
+// Stream every alignment record, invoking visit(rec_ptr, rec_len).  The
+// visitor returns false to stop early.
+template <typename Visitor>
+static bool for_each_record(BamStream& s, Visitor&& visit) {
+    for (;;) {
+        if (s.ensure(4) < 4) return !s.failed();
+        int32_t block_size;
+        std::memcpy(&block_size, s.data(), 4);
+        if (block_size < 32) return false;
+        size_t need = 4 + static_cast<size_t>(block_size);
+        if (s.ensure(need) < need) return !s.failed();
+        if (!visit(s.data() + 4, static_cast<size_t>(block_size)))
+            return true;
+        s.consume(need);
+    }
+}
+
 }  // namespace
 
 extern "C" {
 
-// Scan a whole BAM file (path) and accumulate read-start counts for one
-// reference index into observed[ref_length] (uint8, saturating), applying
-// the CanvasBin filter.  paired_end != 0 requires proper pairs.
-// binary_mode != 0 stores 1 instead of incrementing.
-// Returns: number of kept reads, or -1 on error.
+// One streaming pass accumulating read-start counts for ALL references.
+// observed_flat is a single uint8 buffer; ref_offsets[n_refs + 1] are the
+// per-reference slices (offsets in positions).  paired_end != 0 requires
+// proper pairs; binary_mode != 0 stores 1 instead of incrementing.
+// Returns number of kept reads, or -1 on error.
+int64_t scan_read_starts_all(const char* path, uint8_t* observed_flat,
+                             const int64_t* ref_offsets, int32_t n_refs,
+                             int32_t paired_end, int32_t binary_mode,
+                             int32_t n_threads) {
+    BamStream s(path, n_threads);
+    if (!s.ok()) return -1;
+    if (parse_header(s, nullptr, nullptr, 0, 0) < 0) return -1;
+    int64_t kept = 0;
+    bool ok = for_each_record(s, [&](const uint8_t* p, size_t len) {
+        if (len < 36) return true;
+        int32_t ref_id, pos;
+        std::memcpy(&ref_id, p, 4);
+        std::memcpy(&pos, p + 4, 4);
+        if (ref_id < 0 || ref_id >= n_refs) return true;
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar, flag;
+        std::memcpy(&n_cigar, p + 12, 2);
+        std::memcpy(&flag, p + 14, 2);
+        // CanvasBin filter (CanvasBin.cs:239-249)
+        if (flag & (FLAG_UNMAPPED | FLAG_FAILQC | FLAG_DUP | FLAG_REVERSE |
+                    FLAG_SECONDARY | FLAG_SUPPL))
+            return true;
+        if (n_cigar == 0) return true;
+        uint32_t cigar0;
+        std::memcpy(&cigar0, p + 32 + l_read_name, 4);
+        if ((cigar0 & 0xF) != 0 /* not M */ || (cigar0 >> 4) < 35)
+            return true;
+        if (paired_end && !(flag & FLAG_PROPER)) return true;
+        int64_t ref_len = ref_offsets[ref_id + 1] - ref_offsets[ref_id];
+        if (pos < 0 || pos >= ref_len) return true;
+        uint8_t* obs = observed_flat + ref_offsets[ref_id];
+        kept++;
+        if (binary_mode) {
+            obs[pos] = 1;
+        } else if (obs[pos] != 255) {
+            obs[pos]++;
+        }
+        return true;
+    });
+    return ok ? kept : -1;
+}
+
+// Single-reference wrapper (older ABI): one streaming pass, counts only
+// target_ref, early-exits once the coordinate-sorted stream passes it.
 int64_t scan_read_starts(const char* path, int32_t target_ref,
                          uint8_t* observed, int64_t ref_length,
                          int32_t paired_end, int32_t binary_mode,
                          int32_t n_threads) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return -1;
-    std::fseek(f, 0, SEEK_END);
-    long fsize = std::ftell(f);
-    std::fseek(f, 0, SEEK_SET);
-    std::vector<uint8_t> raw(static_cast<size_t>(fsize));
-    if (std::fread(raw.data(), 1, raw.size(), f) != raw.size()) {
-        std::fclose(f);
-        return -1;
-    }
-    std::fclose(f);
-
-    Decompressed dec = decompress_bgzf(raw.data(), raw.size(), n_threads);
-    if (!dec.ok) return -1;
-    const uint8_t* d = dec.data.data();
-    size_t n = dec.data.size();
-    if (n < 12 || std::memcmp(d, "BAM\x01", 4) != 0) return -1;
-
-    size_t off = 4;
-    int32_t l_text;
-    std::memcpy(&l_text, d + off, 4);
-    off += 4 + static_cast<size_t>(l_text);
-    int32_t n_ref;
-    std::memcpy(&n_ref, d + off, 4);
-    off += 4;
-    for (int32_t i = 0; i < n_ref; i++) {
-        int32_t l_name;
-        std::memcpy(&l_name, d + off, 4);
-        off += 4 + static_cast<size_t>(l_name) + 4;
-    }
-
+    BamStream s(path, n_threads);
+    if (!s.ok()) return -1;
+    if (parse_header(s, nullptr, nullptr, 0, 0) < 0) return -1;
     int64_t kept = 0;
-    while (off + 4 <= n) {
-        int32_t block_size;
-        std::memcpy(&block_size, d + off, 4);
-        size_t p = off + 4;
-        off += 4 + static_cast<size_t>(block_size);
-        if (off > n) break;
+    bool ok = for_each_record(s, [&](const uint8_t* p, size_t len) {
+        if (len < 36) return true;
         int32_t ref_id, pos;
-        std::memcpy(&ref_id, d + p, 4);
-        std::memcpy(&pos, d + p + 4, 4);
-        if (ref_id > target_ref && target_ref >= 0) break;  // past target
-        if (ref_id != target_ref) continue;
-        uint8_t l_read_name = d[p + 8];
+        std::memcpy(&ref_id, p, 4);
+        std::memcpy(&pos, p + 4, 4);
+        if (target_ref >= 0 && ref_id > target_ref) return false;
+        if (ref_id != target_ref) return true;
+        uint8_t l_read_name = p[8];
         uint16_t n_cigar, flag;
-        std::memcpy(&n_cigar, d + p + 12, 2);
-        std::memcpy(&flag, d + p + 14, 2);
-        // CanvasBin filter (CanvasBin.cs:239-249)
+        std::memcpy(&n_cigar, p + 12, 2);
+        std::memcpy(&flag, p + 14, 2);
         if (flag & (FLAG_UNMAPPED | FLAG_FAILQC | FLAG_DUP | FLAG_REVERSE |
                     FLAG_SECONDARY | FLAG_SUPPL))
-            continue;
-        if (n_cigar == 0) continue;
+            return true;
+        if (n_cigar == 0) return true;
         uint32_t cigar0;
-        std::memcpy(&cigar0, d + p + 32 + l_read_name, 4);
-        if ((cigar0 & 0xF) != 0 /* not M */ || (cigar0 >> 4) < 35) continue;
-        if (paired_end && !(flag & FLAG_PROPER)) continue;
-        if (pos < 0 || pos >= ref_length) continue;
+        std::memcpy(&cigar0, p + 32 + l_read_name, 4);
+        if ((cigar0 & 0xF) != 0 || (cigar0 >> 4) < 35) return true;
+        if (paired_end && !(flag & FLAG_PROPER)) return true;
+        if (pos < 0 || pos >= ref_length) return true;
         kept++;
         if (binary_mode) {
             observed[pos] = 1;
         } else if (observed[pos] != 255) {
             observed[pos]++;
         }
-    }
-    return kept;
+        return true;
+    });
+    return ok ? kept : -1;
+}
+
+// CanvasSNV pileup (SNVReviewer.cs:172-271) over ALL references in one
+// streaming pass.  positions: sorted 0-based site positions, grouped by
+// reference via site_offsets[n_refs + 1]; ref_codes/alt_codes: 4-bit BAM
+// base codes (A=1, C=2, G=4, T=8) per site.  Counts land in count_ref /
+// count_alt (int32, aligned with positions).  Filters: primary mapped
+// non-duplicate reads with MAPQ > min_mapq; bases with quality >=
+// min_baseq; CIGAR M consumes both, I/S consume read, D consumes
+// reference, anything else ends the walk (matches the Python reader and
+// SNVReviewer.ProcessReadBases).  Returns processed read count or -1.
+int64_t pileup_sites_all(const char* path, const int64_t* positions,
+                         const int64_t* site_offsets, int32_t n_refs,
+                         const uint8_t* ref_codes, const uint8_t* alt_codes,
+                         int32_t* count_ref, int32_t* count_alt,
+                         int32_t min_mapq, int32_t min_baseq,
+                         int32_t n_threads) {
+    BamStream s(path, n_threads);
+    if (!s.ok()) return -1;
+    if (parse_header(s, nullptr, nullptr, 0, 0) < 0) return -1;
+    int64_t used = 0;
+    int32_t cur_ref = -1;
+    int64_t next_site = 0;   // index into positions, within current ref
+    bool ok = for_each_record(s, [&](const uint8_t* p, size_t len) {
+        if (len < 36) return true;
+        int32_t ref_id, pos;
+        std::memcpy(&ref_id, p, 4);
+        std::memcpy(&pos, p + 4, 4);
+        if (ref_id < 0 || ref_id >= n_refs) return true;
+        if (ref_id != cur_ref) {
+            if (ref_id < cur_ref) return true;  // unsorted tail record
+            cur_ref = ref_id;
+            next_site = site_offsets[ref_id];
+        }
+        const int64_t site_end = site_offsets[ref_id + 1];
+        if (next_site >= site_end &&
+            ref_id == n_refs - 1)  // nothing left anywhere
+            return false;
+        uint8_t l_read_name = p[8];
+        uint8_t mapq = p[9];
+        uint16_t n_cigar, flag;
+        std::memcpy(&n_cigar, p + 12, 2);
+        std::memcpy(&flag, p + 14, 2);
+        int32_t l_seq;
+        std::memcpy(&l_seq, p + 16, 4);
+        if (flag & (FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_SUPPL | FLAG_DUP))
+            return true;
+        if (mapq <= min_mapq) return true;
+        while (next_site < site_end && positions[next_site] < pos)
+            next_site++;
+        if (next_site >= site_end) return true;
+        if (static_cast<int64_t>(pos) + 1000 < positions[next_site])
+            return true;
+        const uint8_t* cigar = p + 32 + l_read_name;
+        const uint8_t* seq = cigar + 4 * n_cigar;
+        const uint8_t* qual = seq + (l_seq + 1) / 2;
+        if (static_cast<size_t>(qual - p) + l_seq > len) return true;
+        int64_t position = pos;
+        int64_t base_index = 0;
+        int64_t vi = next_site;
+        for (uint16_t c = 0; c < n_cigar; c++) {
+            uint32_t cv;
+            std::memcpy(&cv, cigar + 4 * c, 4);
+            uint32_t op = cv & 0xF;
+            int64_t clen = cv >> 4;
+            if (op == 0) {  // M: consumes both
+                int64_t seg_end = position + clen;
+                while (vi < site_end && positions[vi] < position) vi++;
+                while (vi < site_end && positions[vi] < seg_end) {
+                    int64_t bi = base_index + (positions[vi] - position);
+                    if (qual[bi] >= min_baseq) {
+                        uint8_t code = seq[bi >> 1];
+                        code = (bi & 1) ? (code & 0xF) : (code >> 4);
+                        if (code == ref_codes[vi]) count_ref[vi]++;
+                        if (code == alt_codes[vi]) count_alt[vi]++;
+                    }
+                    vi++;
+                }
+                position = seg_end;
+                base_index += clen;
+            } else if (op == 1 || op == 4) {  // I / S: consumes read
+                base_index += clen;
+            } else if (op == 2) {  // D: consumes reference
+                position += clen;
+            } else {
+                break;
+            }
+        }
+        used++;
+        return true;
+    });
+    return ok ? used : -1;
 }
 
 // Return the number of references and write their lengths into lengths[]
 // (up to max_refs); names are written NUL-separated into names_buf.
 int32_t read_bam_header(const char* path, int64_t* lengths, char* names_buf,
                         int64_t names_buf_size, int32_t max_refs) {
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return -1;
-    // header fits in the first few BGZF blocks; read up to 4 MB
-    std::vector<uint8_t> raw(4 << 20);
-    size_t got = std::fread(raw.data(), 1, raw.size(), f);
-    std::fclose(f);
-    raw.resize(got);
-    // decompress blocks until header parsed
-    std::vector<Block> blocks;
-    size_t pos = 0, out = 0;
-    while (pos + 18 <= raw.size()) {
-        if (raw[pos] != 0x1f || raw[pos + 1] != 0x8b) break;
-        uint16_t xlen;
-        std::memcpy(&xlen, raw.data() + pos + 10, 2);
-        size_t epos = pos + 12, eend = epos + xlen;
-        uint32_t bsize = 0;
-        while (epos + 4 <= eend) {
-            uint8_t si1 = raw[epos], si2 = raw[epos + 1];
-            uint16_t slen;
-            std::memcpy(&slen, raw.data() + epos + 2, 2);
-            if (si1 == 66 && si2 == 67) {
-                uint16_t b;
-                std::memcpy(&b, raw.data() + epos + 4, 2);
-                bsize = static_cast<uint32_t>(b) + 1;
-            }
-            epos += 4 + slen;
-        }
-        if (bsize == 0 || pos + bsize > raw.size()) break;
-        uint32_t isize;
-        std::memcpy(&isize, raw.data() + pos + bsize - 4, 4);
-        blocks.push_back({pos, bsize, isize, out});
-        out += isize;
-        pos += bsize;
-    }
-    std::vector<uint8_t> dec(out);
-    for (const auto& b : blocks)
-        if (b.uncomp_size) inflate_block(raw.data(), b, dec.data());
-    if (dec.size() < 12 || std::memcmp(dec.data(), "BAM\x01", 4) != 0)
-        return -1;
-    size_t off = 4;
-    int32_t l_text;
-    std::memcpy(&l_text, dec.data() + off, 4);
-    off += 4 + static_cast<size_t>(l_text);
-    int32_t n_ref;
-    std::memcpy(&n_ref, dec.data() + off, 4);
-    off += 4;
-    int64_t name_off = 0;
-    for (int32_t i = 0; i < n_ref && i < max_refs; i++) {
-        int32_t l_name;
-        std::memcpy(&l_name, dec.data() + off, 4);
-        off += 4;
-        if (name_off + l_name <= names_buf_size) {
-            std::memcpy(names_buf + name_off, dec.data() + off,
-                        static_cast<size_t>(l_name));
-            name_off += l_name;  // includes the NUL
-        }
-        off += static_cast<size_t>(l_name);
-        int32_t l_ref;
-        std::memcpy(&l_ref, dec.data() + off, 4);
-        off += 4;
-        lengths[i] = l_ref;
-    }
-    return n_ref;
+    BamStream s(path, 1);
+    if (!s.ok()) return -1;
+    return parse_header(s, lengths, names_buf, names_buf_size, max_refs);
 }
 
 }  // extern "C"

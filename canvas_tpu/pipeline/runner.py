@@ -132,6 +132,16 @@ def ingest_observed(ctx: WorkflowContext, sample: Sample) -> dict[str, np.ndarra
 
     refs = native.read_bam_refs(sample.bam_path) if native.available() else None
     if refs is not None:
+        # ONE streaming pass for all contigs; non-canonical refs get a
+        # zero-length slot so their records are skipped without memory
+        wanted = set(ctx.canonical)
+        lengths = [L if name in wanted else 0 for name, L in refs]
+        per_ref = native.scan_read_starts_all(sample.bam_path, lengths)
+        if per_ref is not None:
+            by_name = {name: per_ref[i] for i, (name, _) in enumerate(refs)}
+            return {c: by_name.get(c,
+                                   np.zeros(ctx.contigs.length(c), np.uint8))
+                    for c in ctx.canonical}
         ref_index = {name: i for i, (name, _) in enumerate(refs)}
         ref_len = {name: L for name, L in refs}
         observed = {}
@@ -284,14 +294,17 @@ def run_snv(ctx: WorkflowContext, sample: Sample,
     out = ckpt.path(f"VFResults_{sample.name}.txt.gz")
     if ckpt.done(out.name):
         return out
-    bam = bamio.BamFile.read(sample.bam_path)
+    by_chrom = snvio.load_het_snvs_multi(sample.normal_vcf,
+                                         list(ctx.canonical),
+                                         is_somatic=is_somatic,
+                                         is_dbsnp=sample.is_dbsnp_vcf)
+    if not snvio.pileup_counts_native(sample.bam_path, by_chrom):
+        bam = bamio.BamFile.read(sample.bam_path)
+        for contig in ctx.canonical:
+            snvio.pileup_counts(bam, contig, by_chrom[contig])
     all_sites: list[snvio.SnvSite] = []
     for contig in ctx.canonical:
-        sites = snvio.load_het_snvs(sample.normal_vcf, contig,
-                                    is_somatic=is_somatic,
-                                    is_dbsnp=sample.is_dbsnp_vcf)
-        snvio.pileup_counts(bam, contig, sites)
-        all_sites.extend(s for s in sites
+        all_sites.extend(s for s in by_chrom[contig]
                          if snvio.is_variant_site(s, sample.is_dbsnp_vcf))
     snvio.write_frequencies(out, all_sites)
     # VFResults baf companion (ConcatenateCanvasSNVBafResults target,

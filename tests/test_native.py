@@ -86,3 +86,71 @@ def test_native_kmer_flagger_matches_numpy(rng):
     # repeats and N windows flagged non-unique
     assert not py["c1"][1000:1006].any()
     assert not py["c1"][3500 - 34:3507].any()
+
+
+def test_scan_read_starts_all_matches_per_ref(bam_fixture):
+    path, refs = bam_fixture
+    got = native.scan_read_starts_all(str(path), [L for _, L in refs])
+    assert got is not None
+    for i, (name, length) in enumerate(refs):
+        want = native.scan_read_starts(str(path), i, length)
+        np.testing.assert_array_equal(got[i], want)
+    # zero-length slots skip that reference entirely
+    got2 = native.scan_read_starts_all(str(path), [refs[0][1], 0])
+    np.testing.assert_array_equal(got2[0], got[0])
+    assert len(got2[1]) == 0
+
+
+def _pileup_fixture(tmp_path, rng):
+    from canvas_tpu.io import snv as snvio
+    refs = [("chr1", 50_000), ("chr2", 30_000)]
+    records, sites = [], {}
+    k = 0
+    for ref_id, (name, L) in enumerate(refs):
+        site_pos = np.sort(rng.choice(np.arange(200, L - 200), 120,
+                                      replace=False))
+        sites[name] = [snvio.SnvSite(name, int(p) + 1, "A", "C")
+                       for p in site_pos]
+        for pos in sorted(rng.integers(0, L - 120, size=3000)):
+            flag = 0x1 | 0x2
+            r = rng.random()
+            if r < 0.08:
+                flag |= 0x400            # duplicate: excluded
+            elif r < 0.12:
+                flag |= 0x100            # secondary: excluded
+            seq = "".join(rng.choice(list("ACGT"), size=100))
+            qual = rng.integers(5, 40, size=100).astype(np.uint8)
+            cigar = [(100, "M")]
+            if r > 0.9:                  # exercise the CIGAR walk
+                cigar = [(10, "S"), (40, "M"), (5, "D"), (3, "I"), (47, "M")]
+            mapq = int(rng.integers(0, 60))
+            records.append(bamio.BamRecord(
+                ref_id, int(pos), mapq, flag, f"p{k}", cigar,
+                seq, qual))
+            k += 1
+    return refs, records, sites
+
+
+def test_native_pileup_matches_python(tmp_path, rng):
+    from canvas_tpu.io import snv as snvio
+    refs, records, sites = _pileup_fixture(tmp_path, rng)
+    path = tmp_path / "p.bam"
+    bamio.write_bam(path, refs, records)
+
+    import copy
+    py_sites = copy.deepcopy(sites)
+    bam = bamio.BamFile.read(path)
+    for name, _ in refs:
+        snvio.pileup_counts(bam, name, py_sites[name], min_mapq=10)
+
+    nat_sites = copy.deepcopy(sites)
+    ok = snvio.pileup_counts_native(path, nat_sites, min_mapq=10)
+    assert ok, "native pileup unavailable"
+    n_nonzero = 0
+    for name, _ in refs:
+        for a, b in zip(py_sites[name], nat_sites[name]):
+            assert (a.count_ref, a.count_alt) == (b.count_ref, b.count_alt), \
+                (name, a.position, a.count_ref, a.count_alt,
+                 b.count_ref, b.count_alt)
+            n_nonzero += (a.count_ref + a.count_alt) > 0
+    assert n_nonzero > 50   # the comparison actually counted bases
