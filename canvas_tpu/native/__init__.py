@@ -46,6 +46,12 @@ def _load():
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.scan_with_fragments_all.restype = ctypes.c_int64
+        lib.scan_with_fragments_all.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32]
         lib.pileup_sites_all.restype = ctypes.c_int64
         lib.pileup_sites_all.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
@@ -191,6 +197,34 @@ def scan_read_starts_all(
     if kept < 0:
         return None
     return [flat[offsets[i]:offsets[i + 1]] for i in range(len(ref_lengths))]
+
+
+def scan_with_fragments_all(
+    path: str, ref_lengths: list[int],
+    paired_end: bool = True, n_threads: int = 0,
+) -> tuple[list[np.ndarray], list[np.ndarray]] | None:
+    """GCContentWeighted ingest: one streaming pass recording read-start
+    counts AND per-position forward fragment lengths (CanvasBin.cs:261-266).
+    Returns (observed uint8 arrays, fragment int16 arrays) per reference."""
+    lib = _load()
+    if lib is None:
+        return None
+    offsets = np.zeros(len(ref_lengths) + 1, dtype=np.int64)
+    np.cumsum(ref_lengths, out=offsets[1:])
+    flat = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    frag = np.zeros(int(offsets[-1]), dtype=np.int16)
+    kept = lib.scan_with_fragments_all(
+        path.encode(),
+        flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        frag.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(ref_lengths), int(paired_end), n_threads)
+    if kept < 0:
+        return None
+    return ([flat[offsets[i]:offsets[i + 1]]
+             for i in range(len(ref_lengths))],
+            [frag[offsets[i]:offsets[i + 1]]
+             for i in range(len(ref_lengths))])
 
 
 _BASE_CODE = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15}

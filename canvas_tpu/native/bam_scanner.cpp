@@ -313,6 +313,52 @@ int64_t scan_read_starts_all(const char* path, uint8_t* observed_flat,
     return ok ? kept : -1;
 }
 
+// GCContentWeighted ingest (CanvasBin.cs:261-266): like
+// scan_read_starts_all but also records the forward fragment length at
+// each kept read start into frag_flat (int16, clamp(tlen, 0, 32767),
+// last write wins like the sequential reference loop).
+int64_t scan_with_fragments_all(const char* path, uint8_t* observed_flat,
+                                int16_t* frag_flat,
+                                const int64_t* ref_offsets, int32_t n_refs,
+                                int32_t paired_end, int32_t n_threads) {
+    BamStream s(path, n_threads);
+    if (!s.ok()) return -1;
+    if (parse_header(s, nullptr, nullptr, 0, 0) < 0) return -1;
+    int64_t kept = 0;
+    bool ok = for_each_record(s, [&](const uint8_t* p, size_t len) {
+        if (len < 36) return true;
+        int32_t ref_id, pos;
+        std::memcpy(&ref_id, p, 4);
+        std::memcpy(&pos, p + 4, 4);
+        if (ref_id < 0 || ref_id >= n_refs) return true;
+        uint8_t l_read_name = p[8];
+        uint16_t n_cigar, flag;
+        std::memcpy(&n_cigar, p + 12, 2);
+        std::memcpy(&flag, p + 14, 2);
+        if (flag & (FLAG_UNMAPPED | FLAG_FAILQC | FLAG_DUP | FLAG_REVERSE |
+                    FLAG_SECONDARY | FLAG_SUPPL))
+            return true;
+        if (n_cigar == 0) return true;
+        uint32_t cigar0;
+        std::memcpy(&cigar0, p + 32 + l_read_name, 4);
+        if ((cigar0 & 0xF) != 0 || (cigar0 >> 4) < 35) return true;
+        if (paired_end && !(flag & FLAG_PROPER)) return true;
+        int64_t ref_len = ref_offsets[ref_id + 1] - ref_offsets[ref_id];
+        if (pos < 0 || pos >= ref_len) return true;
+        kept++;
+        int64_t base = ref_offsets[ref_id];
+        uint8_t* obs = observed_flat + base;
+        if (obs[pos] != 255) obs[pos]++;
+        int32_t tlen;
+        std::memcpy(&tlen, p + 28, 4);
+        if (tlen > 32767) tlen = 32767;
+        if (tlen < 0) tlen = 0;
+        frag_flat[base + pos] = static_cast<int16_t>(tlen);
+        return true;
+    });
+    return ok ? kept : -1;
+}
+
 // Single-reference wrapper (older ABI): one streaming pass, counts only
 // target_ref, early-exits once the coordinate-sorted stream passes it.
 int64_t scan_read_starts(const char* path, int32_t target_ref,

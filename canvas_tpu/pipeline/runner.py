@@ -166,8 +166,24 @@ def ingest_observed_with_fragments(
     ctx: WorkflowContext, sample: Sample,
 ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
     """GCContentWeighted ingest: per-contig observed counts AND stored
-    forward-fragment lengths (CanvasBin.cs:261-266) via the Python reader
-    (the native scanner does not record fragment lengths)."""
+    forward-fragment lengths (CanvasBin.cs:261-266); one native streaming
+    pass when available, else the Python reader."""
+    from canvas_tpu import native
+
+    refs = native.read_bam_refs(sample.bam_path) if native.available() else None
+    if refs is not None:
+        wanted = set(ctx.canonical)
+        lengths = [L if name in wanted else 0 for name, L in refs]
+        res = native.scan_with_fragments_all(sample.bam_path, lengths)
+        if res is not None:
+            per_obs, per_frag = res
+            obs_by = {name: per_obs[i] for i, (name, _) in enumerate(refs)}
+            frag_by = {name: per_frag[i] for i, (name, _) in enumerate(refs)}
+            zeros = lambda c, dt: np.zeros(ctx.contigs.length(c), dt)
+            return ({c: obs_by.get(c, zeros(c, np.uint8))
+                     for c in ctx.canonical},
+                    {c: frag_by.get(c, zeros(c, np.int16))
+                     for c in ctx.canonical})
     bam = bamio.BamFile.read(sample.bam_path)
     observed, fragments = {}, {}
     for contig in ctx.canonical:

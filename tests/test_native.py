@@ -154,3 +154,30 @@ def test_native_pileup_matches_python(tmp_path, rng):
                  b.count_ref, b.count_alt)
             n_nonzero += (a.count_ref + a.count_alt) > 0
     assert n_nonzero > 50   # the comparison actually counted bases
+
+
+def test_scan_with_fragments_matches_python(tmp_path, rng):
+    refs = [("chr1", 40_000), ("chr2", 20_000)]
+    records = []
+    k = 0
+    for ref_id, (name, L) in enumerate(refs):
+        for pos in sorted(rng.integers(0, L - 100, size=1500)):
+            flag = 0x1 | 0x2
+            if rng.random() < 0.1:
+                flag |= 0x10
+            tlen = int(rng.integers(-500, 40000))
+            records.append(bamio.BamRecord(
+                ref_id, int(pos), 50, flag, f"f{k}", [(50, "M")],
+                "A" * 50, np.full(50, 30, np.uint8), tlen=tlen))
+            k += 1
+    path = tmp_path / "f.bam"
+    bamio.write_bam(path, refs, records)
+    res = native.scan_with_fragments_all(str(path), [L for _, L in refs])
+    assert res is not None
+    obs_n, frag_n = res
+    bam = bamio.BamFile.read(path)
+    for i, (name, L) in enumerate(refs):
+        obs_p, frag_p = bamio.read_start_counts(bam, name,
+                                                mode="GCContentWeighted")
+        np.testing.assert_array_equal(obs_n[i], obs_p)
+        np.testing.assert_array_equal(frag_n[i], frag_p)
