@@ -19,115 +19,16 @@ from __future__ import annotations
 import argparse
 import json
 import shutil
-import struct
 import sys
 import time
-import zlib
 from pathlib import Path
 
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-READ_LEN = 50
-FLAG = 0x1 | 0x2 | 0x40  # paired, proper pair, first of pair
-
-
-def make_reference(ref_dir: Path, contig_lengths: dict[str, int]) -> None:
-    from canvas_tpu.genome.reference import write_fasta
-    from canvas_tpu.tools.flag_unique_kmers import flag_unique_kmers
-
-    rng = np.random.default_rng(42)
-    seqs = {}
-    for name, length in contig_lengths.items():
-        codes = rng.integers(0, 4, size=length, dtype=np.uint8)
-        seqs[name] = bytes(np.frombuffer(b"ACGT", np.uint8)[codes])
-    write_fasta(ref_dir / "genome.fa", seqs)
-    flag_unique_kmers(ref_dir / "genome.fa", ref_dir / "kmer.fa")
-
-
-def synth_positions(rng, length: int, rate: float,
-                    plan: list[tuple[int, int, float]]) -> np.ndarray:
-    """Poisson read starts with planted CN regions (cn as multiplier of 2)."""
-    cn = np.full(length, 2.0, np.float32)
-    for s, e, c in plan:
-        cn[s:e] = c
-    lam = rate * cn / 2.0
-    counts = rng.poisson(lam).astype(np.int32)
-    return np.repeat(np.arange(length, dtype=np.int64), counts)
-
-
-def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
-                         per_contig_pos: list[np.ndarray]) -> int:
-    """Write a coordinate-sorted BAM of fixed-shape 50M reads, vectorized.
-
-    Record layout (little-endian), constant-size per read:
-      block_size(4) + 8 ints(32) + name(10: 'r' + 8 digits + NUL)
-      + cigar(4) + seq(25) + qual(50)  => 125 bytes total.
-    """
-    header = bytearray(b"BAM\x01")
-    text = b"@HD\tVN:1.6\tSO:coordinate\n"
-    header += struct.pack("<i", len(text)) + text
-    header += struct.pack("<i", len(refs))
-    for name, length in refs:
-        nb = name.encode() + b"\x00"
-        header += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
-
-    total = int(sum(len(p) for p in per_contig_pos))
-    rec_size = 125
-    payload_len = rec_size - 4
-
-    buf = np.zeros((total, rec_size), np.uint8)
-    row = buf.view(np.uint8)
-    # constant fields
-    le32 = lambda v: np.frombuffer(struct.pack("<i", v), np.uint8)  # noqa: E731
-    row[:, 0:4] = le32(payload_len)
-    # l_read_name=10, mapq=50, bin=0, n_cigar=1, flag
-    row[:, 12] = 10
-    row[:, 13] = READ_LEN
-    row[:, 16:18] = np.frombuffer(struct.pack("<H", 1), np.uint8)
-    row[:, 18:20] = np.frombuffer(struct.pack("<H", FLAG), np.uint8)
-    row[:, 20:24] = le32(READ_LEN)
-    row[:, 24:28] = le32(-1)          # next_ref_id
-    row[:, 28:32] = le32(-1)          # next_pos
-    row[:, 32:36] = le32(0)           # tlen
-    # name 'r' + 8 digits + NUL at [36:46]
-    row[:, 36] = ord("r")
-    ids = np.arange(total, dtype=np.int64)
-    for d in range(8):
-        row[:, 37 + d] = (ids // 10 ** (7 - d)) % 10 + ord("0")
-    # cigar 50M at [46:50]
-    row[:, 46:50] = np.frombuffer(struct.pack("<I", (READ_LEN << 4) | 0),
-                                  np.uint8)
-    # seq: 25 bytes of 'AA' packed (code 1 = A) at [50:75]
-    row[:, 50:75] = 0x11
-    # qual: 30 at [75:125]
-    row[:, 75:125] = 30
-
-    # per-record ref_id / pos
-    ref_ids = np.concatenate([
-        np.full(len(p), i, np.int32) for i, p in enumerate(per_contig_pos)])
-    poss = np.concatenate(per_contig_pos).astype(np.int32)
-    row[:, 4:8] = ref_ids[:, None].view(np.uint8).reshape(total, 4)
-    row[:, 8:12] = poss[:, None].view(np.uint8).reshape(total, 4)
-
-    raw = bytes(header) + buf.tobytes()
-    with open(path, "wb") as f:
-        mv = memoryview(raw)
-        for off in range(0, len(raw), 60000):
-            chunk = bytes(mv[off:off + 60000])
-            comp = zlib.compress(chunk, 1)
-            # strip zlib wrapper -> raw deflate
-            comp = comp[2:-4]
-            bsize = len(comp) + 25  # BSIZE = 18B header + data + 8B footer - 1
-            f.write(b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00"
-                    b"BC\x02\x00" + struct.pack("<H", bsize))
-            f.write(comp)
-            f.write(struct.pack("<I", zlib.crc32(chunk)))
-            f.write(struct.pack("<I", len(chunk)))
-        f.write(bytes.fromhex(
-            "1f8b08040000000000ff0600424302001b0003000000000000000000"))
-    return total
+from _synth import (READ_LEN, FLAG, make_reference,  # noqa: E402
+                    synth_positions, write_bam_vectorized)
 
 
 def build_inputs(cache: Path, mbp: int, rate: float):
