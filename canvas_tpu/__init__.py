@@ -22,4 +22,28 @@ Layout:
 
 __version__ = "0.1.0"
 
+import os as _os
+
 from canvas_tpu import config as config
+
+
+def _enable_persistent_xla_cache() -> None:
+    """Kernel compiles (~5s each) dominate short runs; cache them on disk so
+    they are paid once per machine, not once per process.  Opt out with
+    CANVAS_TPU_NO_XLA_CACHE=1."""
+    if _os.environ.get("CANVAS_TPU_NO_XLA_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/canvas_tpu/xla"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_xla_cache()

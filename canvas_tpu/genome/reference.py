@@ -83,7 +83,48 @@ def contig_tracks(bases: np.ndarray) -> dict:
 def load_reference_tracks(
     kmer_fasta: str | Path, contigs: ContigTable | None = None,
 ) -> tuple[ContigTable, dict[str, dict]]:
-    """kmer.fa -> (contig table, tracks per contig)."""
+    """kmer.fa -> (contig table, tracks per contig).
+
+    The first load parses the FASTA and writes a `<kmer.fa>.tracks/`
+    sidecar (bit-packed possible/is_gc per contig + meta.json keyed on the
+    FASTA's size/mtime); later loads skip the parse (~6 s per 100 Mbp)
+    and just read+unpack (~8x smaller than the FASTA).  Set
+    CANVAS_TPU_NO_TRACK_CACHE=1 to disable."""
+    import json
+    import os
+
+    src = Path(kmer_fasta)
+    cache_dir = src.with_name(src.name + ".tracks")
+    meta_path = cache_dir / "meta.json"
+    use_cache = not os.environ.get("CANVAS_TPU_NO_TRACK_CACHE")
+    st = src.stat()
+    if use_cache and meta_path.exists():
+        try:
+            meta = json.loads(meta_path.read_text())
+            if meta["src_size"] == st.st_size and \
+                    meta["src_mtime"] == st.st_mtime:
+                names = meta["names"]
+                if contigs is None:
+                    contigs = ContigTable(tuple(names),
+                                          tuple(meta["lengths"]))
+                tracks = {}
+                for i, name in enumerate(names):
+                    if name not in contigs.names:
+                        continue
+                    L = meta["lengths"][i]
+                    p = np.unpackbits(
+                        np.load(cache_dir / f"{i}.possible.npy"),
+                        count=L).view(bool)
+                    g = np.unpackbits(
+                        np.load(cache_dir / f"{i}.gc.npy"),
+                        count=L).view(bool)
+                    tracks[name] = {"possible": p, "is_gc": g,
+                                    "offset": meta["offsets"][i],
+                                    "length": L}
+                return contigs, tracks
+        except Exception:
+            pass  # stale/corrupt sidecar: fall through to a fresh parse
+
     seqs = read_fasta(kmer_fasta)
     if contigs is None:
         contigs = ContigTable(tuple(seqs.keys()),
@@ -92,4 +133,22 @@ def load_reference_tracks(
     for name in contigs.names:
         if name in seqs:
             tracks[name] = contig_tracks(seqs[name])
+    if use_cache:
+        try:
+            cache_dir.mkdir(exist_ok=True)
+            names, lengths, offsets = [], [], []
+            for name, v in seqs.items():
+                i = len(names)
+                t = tracks.get(name) or contig_tracks(v)
+                np.save(cache_dir / f"{i}.possible.npy",
+                        np.packbits(t["possible"]))
+                np.save(cache_dir / f"{i}.gc.npy", np.packbits(t["is_gc"]))
+                names.append(name)
+                lengths.append(t["length"])
+                offsets.append(t["offset"])
+            meta_path.write_text(json.dumps({
+                "src_size": st.st_size, "src_mtime": st.st_mtime,
+                "names": names, "lengths": lengths, "offsets": offsets}))
+        except OSError:
+            pass  # read-only reference folder: cache is best-effort
     return contigs, tracks

@@ -74,12 +74,20 @@ class BinSet:
     # -- text interop (reference format) ----------------------------------
 
     def write_text(self, path: str | Path) -> None:
-        opener = gzip.open if str(path).endswith(".gz") else open
-        with opener(str(path), "wt") as f:
-            names = self.contigs.names
+        names = self.contigs.names
+        # one join + one write: per-line f.write into a gzip stream costs
+        # ~15x more than compressing a single buffer at level 1
+        body = "".join(
+            f"{names[cid]}\t{s}\t{e}\t{c:.2f}\t{g}\n"
             for cid, s, e, g, c in zip(
-                    self.contig_id, self.start, self.end, self.gc, self.count):
-                f.write(f"{names[cid]}\t{s}\t{e}\t{c:.2f}\t{g}\n")
+                self.contig_id.tolist(), self.start.tolist(),
+                self.end.tolist(), self.gc.tolist(), self.count.tolist())
+        ).encode()
+        if str(path).endswith(".gz"):
+            with gzip.open(str(path), "wb", compresslevel=1) as f:
+                f.write(body)
+        else:
+            Path(path).write_bytes(body)
 
     @classmethod
     def read_text(cls, path: str | Path, contigs: ContigTable) -> "BinSet":
