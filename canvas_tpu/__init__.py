@@ -41,7 +41,10 @@ def _enable_persistent_xla_cache() -> None:
             _os.path.expanduser("~/.cache/canvas_tpu/xla"))
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 0: persist even trivial eager-op compiles — over a tunneled TPU
+        # every compile pays ~0.5s of RPC, so dozens of tiny
+        # convert_element_type/squeeze ops otherwise recompile per process
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

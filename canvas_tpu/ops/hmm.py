@@ -418,6 +418,34 @@ def breakpoints_from_path(path: np.ndarray) -> list[int]:
     return bps
 
 
+@partial(jax.jit, static_argnames=("lt", "li", "chunk", "interpret",
+                                   "use_pallas"))
+def _emission_decode_batched(cov, mask, logt, lt, li, chunk, interpret,
+                             use_pallas):
+    """Emission lookup + Viterbi decode as ONE executable.
+
+    On a tunneled TPU every separate dispatch (even a cached
+    convert_element_type) pays ~0.5s of executable-load RPC per process, so
+    the whole emission construction is fused into the decode jit; the [B,T,S]
+    emission tensor also never leaves the device this way."""
+    V = logt.shape[1]
+    idx = jnp.clip(jnp.rint(cov[..., 0]).astype(jnp.int32), 0, V - 1)
+    log_em = jnp.where(mask[..., None], logt.T[idx], 0.0)
+    if use_pallas:
+        from canvas_tpu.ops.viterbi_pallas import _viterbi_pallas_jit
+
+        lengths = jnp.sum(mask.astype(jnp.int32), axis=1)
+        return _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, interpret)
+    log_trans = jnp.asarray(np.asarray(lt), jnp.float32)
+    log_init = jnp.asarray(np.asarray(li), jnp.float32)
+    return viterbi_decode_chunked(log_em, log_trans, log_init, mask,
+                                  chunk=chunk)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
 def segment_coverage_batched(
     coverage_by_contig: dict[str, np.ndarray],  # contig -> [T_c] (one sample)
     n_states: int = N_STATES,
@@ -450,8 +478,10 @@ def segment_coverage_batched(
         allcov[:, None], n_states, np.array([median]), np.array([pseudo_var]))
     max_threshold = median / 2.0 * n_states
 
-    T = max(lengths[n] for n in live)
-    B = len(live)
+    # Pad B and T to powers of two so compile keys do not depend on exact
+    # contig geometry (padding lanes have all-False masks -> length 0).
+    T = _next_pow2(max(lengths[n] for n in live))
+    B = _next_pow2(len(live))
     cov = np.zeros((B, T, 1), dtype=np.float32)
     mask = np.zeros((B, T), dtype=bool)
     for b, n in enumerate(live):
@@ -465,22 +495,22 @@ def segment_coverage_batched(
                                          1e-300)), NEG_INF)
     log_trans = np.asarray(log_transition(n_states), np.float32)
     log_init = np.log(np.full(n_states, 1.0 / n_states, np.float32))
-    x = jnp.asarray(cov)
-    m = jnp.asarray(mask)
-    V = tables.shape[-1]
-    idx = jnp.clip(jnp.rint(x[..., 0]).astype(jnp.int32), 0, V - 1)
-    logt = jnp.asarray(logt_np[:, 0, :], jnp.float32)      # [S, V]
-    log_em = jnp.where(m[..., None], logt.T[idx], 0.0)     # [B, T, S]
+    logt = np.asarray(logt_np[:, 0, :], np.float32)        # [S, V]
+    # pad the table width to a power of two by edge replication — V is
+    # data-dependent (max coverage + 10) and would otherwise force a
+    # recompile per sample; indices never reach the replicas because the
+    # coverage was clamped to max_threshold < V - 10 above.
+    Vp = _next_pow2(logt.shape[1])
+    if Vp != logt.shape[1]:
+        logt = np.pad(logt, ((0, 0), (0, Vp - logt.shape[1])), mode="edge")
+    lt = tuple(tuple(float(v) for v in row) for row in log_trans)
+    li = tuple(float(v) for v in log_init)
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
-    if use_pallas:
-        from canvas_tpu.ops.viterbi_pallas import viterbi_decode_pallas
-        paths = np.asarray(viterbi_decode_pallas(
-            log_em, log_trans, jnp.asarray(log_init), m, chunk=chunk))
-    else:
-        paths = np.asarray(viterbi_decode_chunked(
-            log_em, jnp.asarray(log_trans), jnp.asarray(log_init), m,
-            chunk=chunk))
+    interpret = jax.default_backend() == "cpu"
+    paths = np.asarray(_emission_decode_batched(
+        jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(logt),
+        lt, li, chunk, interpret, use_pallas))
     for b, n in enumerate(live):
         out[n] = breakpoints_from_path(paths[b, :lengths[n]])
     return out
