@@ -91,9 +91,29 @@ class BinSet:
 
     @classmethod
     def read_text(cls, path: str | Path, contigs: ContigTable) -> "BinSet":
+        name_to_id = {n: i for i, n in enumerate(contigs.names)}
+        try:  # C-engine CSV parse is ~10x the Python line loop
+            import pandas as pd
+
+            df = pd.read_csv(str(path), sep="\t", header=None,
+                             names=["chrom", "start", "end", "count", "gc"],
+                             dtype={"chrom": str, "start": np.int64,
+                                    "end": np.int64, "count": np.float64,
+                                    "gc": np.int32},
+                             float_precision="round_trip")  # == float()
+            cid = df["chrom"].map(name_to_id).to_numpy(dtype=np.int32)
+            return cls(
+                contigs=contigs,
+                contig_id=cid,
+                start=df["start"].to_numpy(),
+                end=df["end"].to_numpy(),
+                gc=df["gc"].to_numpy(np.int16),
+                count=df["count"].to_numpy(np.float32),
+            )
+        except ImportError:
+            pass
         opener = gzip.open if str(path).endswith(".gz") else open
         cid, start, end, gc, count = [], [], [], [], []
-        name_to_id = {n: i for i, n in enumerate(contigs.names)}
         with opener(str(path), "rt") as f:
             for line in f:
                 fields = line.rstrip("\n").split("\t")

@@ -105,10 +105,12 @@ static bool inflate_block(const uint8_t* raw, const Block& b, uint8_t* dst) {
 // Streaming BGZF reader: bounded raw window + decoded carry buffer.
 class BamStream {
   public:
-    explicit BamStream(const char* path, int n_threads)
+    explicit BamStream(const char* path, int n_threads,
+                       size_t window = RAW_WINDOW)
         : nt_(n_threads > 0
                   ? n_threads
-                  : static_cast<int>(std::thread::hardware_concurrency())) {
+                  : static_cast<int>(std::thread::hardware_concurrency())),
+          window_(window) {
         if (nt_ < 1) nt_ = 1;
         f_ = std::fopen(path, "rb");
     }
@@ -140,11 +142,11 @@ class BamStream {
         // top up the raw window
         if (!eof_) {
             size_t old = raw_len_;
-            raw_.resize(old + RAW_WINDOW);
-            size_t got = std::fread(raw_.data() + old, 1, RAW_WINDOW, f_);
+            raw_.resize(old + window_);
+            size_t got = std::fread(raw_.data() + old, 1, window_, f_);
             raw_len_ = old + got;
             raw_.resize(raw_len_);
-            if (got < RAW_WINDOW) eof_ = true;
+            if (got < window_) eof_ = true;
         }
         if (raw_len_ == 0) return false;
         std::vector<Block> blocks;
@@ -194,6 +196,7 @@ class BamStream {
 
     FILE* f_ = nullptr;
     int nt_;
+    size_t window_ = RAW_WINDOW;
     std::vector<uint8_t> raw_;
     size_t raw_len_ = 0;
     bool eof_ = false;
@@ -496,7 +499,9 @@ int64_t pileup_sites_all(const char* path, const int64_t* positions,
 // (up to max_refs); names are written NUL-separated into names_buf.
 int32_t read_bam_header(const char* path, int64_t* lengths, char* names_buf,
                         int64_t names_buf_size, int32_t max_refs) {
-    BamStream s(path, 1);
+    // small window: a header is a few KB-to-MB at the front of the file;
+    // the default 32MB window would inflate ~150MB single-threaded first
+    BamStream s(path, 1, 256u << 10);
     if (!s.ok()) return -1;
     return parse_header(s, lengths, names_buf, names_buf_size, max_refs);
 }
