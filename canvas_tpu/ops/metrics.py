@@ -63,7 +63,11 @@ def variability_by_window(coverage_by_contig: dict[str, np.ndarray],
         for index in range(0, len(cov) - window, window):
             m = stats.mad(cov, index, index + window)
             med = stats.median(cov[index:index + window])
-            out.append(float(np.float32(m / med)))
+            # C# double division: 0/0 -> NaN, x/0 -> Inf (an all-zero
+            # window, e.g. inside a homozygous deletion, stays in the list
+            # and sorts NaN-first downstream; Segmentation.cs:343)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out.append(float(np.float32(np.float64(m) / med)))
     return out
 
 
@@ -81,6 +85,12 @@ def coverage_variability(coverage_by_contig: dict[str, np.ndarray],
         if (q3 - q1) / q2 > iqr_threshold:
             return float(q1)
     rv = variability_by_window(coverage_by_contig, window)
+    # Deliberate divergence: when every contig is shorter than the window
+    # (possible when total bins pass the 10*window gate but are spread over
+    # many small contigs) the reference would throw from Median(empty);
+    # treat it as "no variability estimate" instead.
+    if not rv:
+        return None
     return stats.median(np.asarray(rv, dtype=np.float32))
 
 

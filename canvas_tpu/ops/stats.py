@@ -17,9 +17,21 @@ import jax.numpy as jnp
 # Host (numpy) versions — exact reference semantics.
 # ---------------------------------------------------------------------------
 
+def _sort_csharp(x) -> np.ndarray:
+    """Sort like C# List<double>.Sort(): NaN compares LESS than everything
+    (Double.CompareTo), so NaNs go first; numpy puts them last.  Matters for
+    reference-parity when upstream ratios produce NaN (e.g. MAD/median over
+    an all-zero window, Segmentation.cs:343)."""
+    a = np.sort(np.asarray(x, dtype=np.float64))  # numpy: NaNs sort last
+    n_nan = int(np.count_nonzero(np.isnan(a)))
+    if n_nan:
+        a = np.concatenate([a[a.size - n_nan:], a[:a.size - n_nan]])
+    return a
+
+
 def median(x) -> float:
     """Median with average-of-middle-two on even length (Utilities.cs:340)."""
-    a = np.sort(np.asarray(x, dtype=np.float64))
+    a = _sort_csharp(x)
     n = a.size
     if n == 0:
         raise ValueError("median of empty array")
@@ -55,7 +67,7 @@ def quartiles(x) -> tuple[float, float, float]:
     n = 4k+1: Q1 = 0.25*x[k-1] + 0.75*x[k]; Q3 = 0.75*x[3k] + 0.25*x[3k+1].
     n = 4k+3: Q1 = 0.75*x[k]   + 0.25*x[k+1]; Q3 = 0.25*x[3k+1] + 0.75*x[3k+2].
     """
-    a = np.sort(np.asarray(x, dtype=np.float64))
+    a = _sort_csharp(x)
     n = a.size
     if n == 1:
         return float(a[0]), float(a[0]), float(a[0])

@@ -103,3 +103,25 @@ def test_median_filter():
     x = [1.0, 5.0, 2.0, 8.0, 3.0]
     out = stats.median_filter(x, 1)
     assert list(out) == [3.0, 2.0, 5.0, 3.0, 5.5]
+
+
+def test_nan_sorts_first_like_csharp():
+    # C# Double.CompareTo: NaN < -Inf < finite < +Inf (Utilities.cs sorts
+    # lists that can contain MAD/median = NaN ratios, Segmentation.cs:343)
+    vals = [1.0, np.nan, -np.inf, 3.0, np.nan]
+    # median of sorted [NaN, NaN, -inf, 1, 3] is -inf
+    assert stats.median(vals) == -np.inf
+    q1, q2, q3 = stats.quartiles(vals)
+    # n=5=4k+1, k=1: Q1 = 0.25*x[0]+0.75*x[1] (NaN), Q3 = 0.75*x[3]+0.25*x[4]
+    assert q2 == -np.inf and np.isnan(q1) and q3 == 1.5
+
+
+def test_variability_all_zero_window_is_nan_not_crash():
+    from canvas_tpu.ops import metrics
+    cov = np.concatenate([np.full(120, 100.0), np.zeros(120),
+                          np.full(120, 100.0)])
+    rv = metrics.variability_by_window({"chr1": cov}, 100)
+    assert len(rv) == 3 and np.isnan(rv[1])  # 0/0 window -> NaN like C#
+    v = metrics.coverage_variability(
+        {"chr1": np.concatenate([cov] * 400)}, 10_000)
+    assert v is not None
