@@ -48,12 +48,18 @@ def synth_positions(rng, length: int, rate: float,
 
 
 def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
-                         per_contig_pos: list[np.ndarray]) -> int:
+                         per_contig_pos: list[np.ndarray],
+                         per_contig_alt: list[np.ndarray] | None = None
+                         ) -> int:
     """Write a coordinate-sorted BAM of fixed-shape 50M reads, vectorized.
 
     Record layout (little-endian), constant-size per read:
       block_size(4) + 8 ints(32) + name(10: 'r' + 8 digits + NUL)
       + cigar(4) + seq(25) + qual(50)  => 125 bytes total.
+
+    per_contig_alt (optional): bool per read; alt reads carry all-'C'
+    sequences instead of all-'A', so a pileup at a het site declared
+    REF=A/ALT=C sees the planted allele fractions.
     """
     header = bytearray(b"BAM\x01")
     text = b"@HD\tVN:1.6\tSO:coordinate\n"
@@ -89,8 +95,12 @@ def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
     # cigar 50M at [46:50]
     row[:, 46:50] = np.frombuffer(struct.pack("<I", (READ_LEN << 4) | 0),
                                   np.uint8)
-    # seq: 25 bytes of 'AA' packed (code 1 = A) at [50:75]
+    # seq: 25 bytes of 'AA' packed (code 1 = A) at [50:75]; alt reads are
+    # all-'C' (code 2 -> 0x22)
     row[:, 50:75] = 0x11
+    if per_contig_alt is not None:
+        alt = np.concatenate([np.asarray(a, bool) for a in per_contig_alt])
+        row[alt, 50:75] = 0x22
     # qual: 30 at [75:125]
     row[:, 75:125] = 30
 
@@ -132,3 +142,41 @@ def write_sample_bam(bam: Path, contigs: dict[str, int], rate: float,
     print(f"[gen] {bam.name}: {total / 1e6:.1f}M reads "
           f"{time.time() - t0:.1f}s", file=sys.stderr)
     return total
+
+
+def make_het_vcf(path: Path, contig_lengths: dict[str, int],
+                 spacing: int = 1500, margin: int = 1000
+                 ) -> dict[str, np.ndarray]:
+    """Write a single-sample VCF of heterozygous REF=A/ALT=C sites on a
+    regular grid (GT 0/1, GQX 60 so both germline and somatic CanvasSNV
+    filters keep them).  Returns 0-based site positions per contig."""
+    sites = {}
+    with open(path, "w") as f:
+        f.write("##fileformat=VCFv4.1\n")
+        f.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="GT">\n')
+        f.write('##FORMAT=<ID=GQX,Number=1,Type=Integer,Description="Q">\n')
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                "\tNORMAL\n")
+        for name, length in contig_lengths.items():
+            pos = np.arange(margin, length - margin - READ_LEN, spacing,
+                            dtype=np.int64)
+            sites[name] = pos
+            for p in pos:
+                f.write(f"{name}\t{p + 1}\t.\tA\tC\t100\tPASS\t.\t"
+                        f"GT:GQX\t0/1:60\n")
+    return sites
+
+
+def assign_alt_reads(rng, read_starts: np.ndarray, site_pos: np.ndarray,
+                     site_vaf: np.ndarray) -> np.ndarray:
+    """Bool per read: show the ALT allele.  Each read covers at most one
+    site (spacing > read length); a read starting at r covers site s when
+    r <= s < r + READ_LEN, and is ALT with that site's VAF."""
+    if len(site_pos) == 0:
+        return np.zeros(len(read_starts), dtype=bool)
+    j = np.minimum(np.searchsorted(site_pos, read_starts, side="left"),
+                   len(site_pos) - 1)
+    covered = (site_pos[j] >= read_starts) & \
+        (site_pos[j] < read_starts + READ_LEN)
+    u = rng.random(len(read_starts))
+    return covered & (u < site_vaf[j])
