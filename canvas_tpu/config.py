@@ -46,6 +46,13 @@ class CanvasConfig:
 
     # CanvasPartition -m/--method override (None = per-mode default)
     partition_method: str | None = None
+    # Run the CanvasSmooth repeated-median filter on enrichment target bins
+    # before T/N normalization.  Default OFF: the reference ships
+    # CanvasSmooth as a standalone stage with no caller in its own
+    # orchestration (only external ISAS wrappers invoke it), and smoothing
+    # both samples independently creates zero-noise plateaus that break
+    # CBS's permutation null (every plateau step tests as significant).
+    smooth_enrichment_bins: bool = False
 
     # CanvasNormalize -m/--mode (WeightedAverage | BestLR2 | PCA)
     normalize_mode: str = "WeightedAverage"

@@ -197,19 +197,27 @@ def compute_boundary(n_perm: int = DEFAULT_NPERM, alpha: float = DEFAULT_ALPHA,
 # ---------------------------------------------------------------------------
 
 def _nu(x: float, tol: float) -> float:
+    """TailProbability.Nu.  The series needs O((1/x)^2) terms for small x
+    (~10^5 at genome-scale m); each doubling block is evaluated as one
+    vectorized ndtr call instead of the reference's scalar loop — same
+    term order, same doubling/termination schedule."""
+    from scipy.special import ndtr
+
+    def block(start: int, count: int) -> float:
+        dks = np.arange(start + 1, start + count + 1, dtype=np.float64)
+        return float(np.sum(2.0 * ndtr(-x * np.sqrt(dks) / 2.0) / dks))
+
     if x > 0.01:
         lnu1 = np.log(2.0) - 2 * np.log(x)
         lnu0 = lnu1
         k = 2
-        dk = 0.0
-        for _ in range(k):
-            dk += 1
-            lnu1 -= 2.0 * sps.norm.cdf(-x * np.sqrt(dk) / 2.0) / dk
+        dk_done = 0
+        lnu1 -= block(dk_done, k)           # first k terms, unconditional
+        dk_done += k
         while abs((lnu1 - lnu0) / lnu1) > tol:
             lnu0 = lnu1
-            for _ in range(k):
-                dk += 1
-                lnu1 -= 2.0 * sps.norm.cdf(-x * np.sqrt(dk) / 2.0) / dk
+            lnu1 -= block(dk_done, k)
+            dk_done += k
             k *= 2
     else:
         lnu1 = -0.583 * x
@@ -281,31 +289,25 @@ def tmax_o(x: np.ndarray, tss: float, al0: int) -> tuple[float, int, int]:
     return _bss_to_t2(best, tss, n), ti, tj
 
 
-@partial(jax.jit, static_argnames=("al0", "kmax"))
-def _htmax_p_batch_device(perms: jnp.ndarray, al0: int, kmax: int) -> jnp.ndarray:
-    """Max bss over circular arcs of length al0..kmax for each permutation
-    [P, n] (HTMaxP semantics; wrap-around arcs included)."""
+def htmax_p_batch(perms: np.ndarray, tss: float, al0: int,
+                  kmax: int) -> np.ndarray:
+    """Hybrid max-t over short arcs for each permutation [P, n].
+
+    Pure numpy: the work is ~kmax passes over a [P, n] cumsum (a few 10^8
+    flops at most), while the jitted device version recompiles for every
+    distinct segment length the CBS recursion produces — each compile
+    costs more than the whole computation."""
     P, n = perms.shape
-    cs = jnp.cumsum(perms, axis=1)
-    best = jnp.zeros(P, dtype=perms.dtype)
+    cs = np.cumsum(perms, axis=1)
+    best = np.zeros(P, dtype=np.float64)
     for L in range(al0, min(kmax, n - 1) + 1):
-        # linear arcs of length L
-        d_lin = jnp.max(jnp.abs(cs[:, L:] - cs[:, :-L]), axis=1)
-        # wrap-around arcs of length L = linear pairs at distance n-L,
-        # still weighted by L (HTMaxP's "minor arcs spanning the end")
-        d_wrap = jnp.max(jnp.abs(cs[:, n - L:] - cs[:, :L]), axis=1)
-        d = jnp.maximum(d_lin, d_wrap)
+        d_lin = np.max(np.abs(cs[:, L:] - cs[:, :-L]), axis=1)
+        d_wrap = np.max(np.abs(cs[:, n - L:] - cs[:, :L]), axis=1)
+        d = np.maximum(d_lin, d_wrap)
         w = n / (L * (n - L))
-        best = jnp.maximum(best, w * d * d)
-    return best
-
-
-def htmax_p_batch(perms: np.ndarray, tss: float, al0: int, kmax: int) -> np.ndarray:
-    n = perms.shape[1]
-    bss = np.asarray(_htmax_p_batch_device(jnp.asarray(perms), al0, kmax),
-                     dtype=np.float64)
-    tssv = np.where(tss <= bss + 0.0001, bss + 1.0, tss)
-    return bss / ((tssv - bss) / (n - 2.0))
+        np.maximum(best, w * d * d, out=best)
+    tssv = np.where(tss <= best + 0.0001, best + 1.0, tss)
+    return best / ((tssv - best) / (n - 2.0))
 
 
 def tmax_p_batch(perms: np.ndarray, tss: float, al0: int) -> np.ndarray:
@@ -323,9 +325,18 @@ def tmax_p_batch(perms: np.ndarray, tss: float, al0: int) -> np.ndarray:
     return best / ((tssv - best) / (n - 2.0))
 
 
+PERM_CHUNK = 512  # permutations evaluated per batch before early-exit checks
+
+
 def t_perm_p(n1: int, n2: int, x: np.ndarray, n_perm: int,
-             rng: np.random.Generator) -> float:
-    """Two-sample mean permutation p-value (CBSTStatistic.TPermP)."""
+             rng: np.random.Generator,
+             alpha: float | None = None) -> float:
+    """Two-sample mean permutation p-value (CBSTStatistic.TPermP).
+
+    Permutations run in PERM_CHUNK batches; with `alpha` given, stops as
+    soon as the rejection count can no longer come back under
+    alpha * n_perm (the only consumer compares p <= alpha, so the early
+    value — already > alpha — yields the identical decision)."""
     n = n1 + n2
     if n1 == 1 or n2 == 1:
         return 1.0
@@ -345,11 +356,23 @@ def t_perm_p(n1: int, n2: int, x: np.ndarray, n_perm: int,
     tstat = tstat / ((tss - tstat) / (n - 2.0))
     if tstat > 25 and m1 >= 10:
         return 0.0
-    # batched sampling without replacement: m1 elements per permutation
-    picks = np.argsort(rng.random((n_perm, n)), axis=1)[:, :m1]
-    sums = np.sum(x[:n][picks], axis=1)
-    pstat = np.abs(sums / rm1 - xbar)
-    return float(np.count_nonzero(ostat <= pstat)) / n_perm
+    limit = alpha * n_perm if alpha is not None else np.inf
+    count = 0
+    done_ = 0
+    xn = x[:n]
+    while done_ < n_perm:
+        m = min(PERM_CHUNK, n_perm - done_)
+        # sampling without replacement: the m1 smallest random keys are the
+        # same SET argsort[:, :m1] picks, and only the subset sum matters
+        r = rng.random((m, n))
+        picks = np.argpartition(r, m1 - 1, axis=1)[:, :m1]
+        sums = np.sum(xn[picks], axis=1)
+        pstat = np.abs(sums / rm1 - xbar)
+        count += int(np.count_nonzero(ostat <= pstat))
+        done_ += m
+        if count > limit:
+            break
+    return count / n_perm
 
 
 # ---------------------------------------------------------------------------
@@ -370,8 +393,12 @@ def find_change_points(
         return []
     l = min(i2 - i1, n - i2 + i1)
     if not (ostat1 >= 7.0 and l >= 10):
-        # permutation p-value with sequential stopping, replayed from a
-        # batched device evaluation of all permutation statistics
+        # permutation p-value with sequential stopping.  Permutations are
+        # generated and evaluated in PERM_CHUNK batches (vectorized), and
+        # generation STOPS when the sequential boundary walk terminates —
+        # the reference's per-permutation loop usually stops after a few
+        # hundred of the 10,000, so batching all of them up front costs
+        # ~20-40x the useful work at n ~ 10^4.
         if hybrid:
             p1 = tail_p(ostat1, delta, n, n_grid, tol)
             if p1 > alpha:
@@ -380,22 +407,29 @@ def find_change_points(
         else:
             nrejc = int(alpha * n_perm)
         k = nrejc * (nrejc + 1) // 2 + 1
-        perms = _permute_batch(x, n_perm, rng)
-        if hybrid:
-            pstats = htmax_p_batch(perms, tss, min_width, kmax)
-        else:
-            pstats = tmax_p_batch(perms, tss, min_width)
         nrej = 0
         accepted = True
-        for np_i in range(1, n_perm + 1):
-            if ostat <= pstats[np_i - 1]:
-                nrej += 1
-                k += 1
-            if nrej > nrejc:
-                accepted = False
-                break
-            if np_i >= sbdry[k - 1]:
-                break
+        np_i = 0
+        walking = True
+        while walking and np_i < n_perm:
+            m = min(PERM_CHUNK, n_perm - np_i)
+            perms = _permute_batch(x, m, rng)
+            if hybrid:
+                pstats = htmax_p_batch(perms, tss, min_width, kmax)
+            else:
+                pstats = tmax_p_batch(perms, tss, min_width)
+            for j in range(m):
+                np_i += 1
+                if ostat <= pstats[j]:
+                    nrej += 1
+                    k += 1
+                if nrej > nrejc:
+                    accepted = False
+                    walking = False
+                    break
+                if np_i >= sbdry[k - 1]:
+                    walking = False
+                    break
         if not accepted:
             return []
     # split location tests (ChangePoint.cs:359-398)
@@ -404,10 +438,10 @@ def find_change_points(
     if i1 == 0:
         return [i2]
     out = []
-    p = t_perm_p(i1, i2 - i1, x, n_perm, rng)
+    p = t_perm_p(i1, i2 - i1, x, n_perm, rng, alpha=alpha)
     if p <= alpha:
         out.append(i1)
-    p = t_perm_p(i2 - i1, n - i2, x[i1:], n_perm, rng)
+    p = t_perm_p(i2 - i1, n - i2, x[i1:], n_perm, rng, alpha=alpha)
     if p <= alpha:
         out.append(i2)
     return out

@@ -597,7 +597,8 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
     with prof.stage("CanvasBin"):
         if is_enrichment:
             t_bins = run_bin_predefined(ctx, tumor, manifest)
-            t_bins = smooth_ops.smooth(t_bins)
+            if ctx.config.smooth_enrichment_bins:
+                t_bins = smooth_ops.smooth(t_bins)
             t_bs = None
         else:
             t_bins, t_bs = run_bin(ctx, tumor)
@@ -608,7 +609,8 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
             for c in all_controls:
                 if is_enrichment:
                     cb = run_bin_predefined(ctx, c, manifest)
-                    cb = smooth_ops.smooth(cb)
+                    if ctx.config.smooth_enrichment_bins:
+                        cb = smooth_ops.smooth(cb)
                 else:
                     # shared bin size -> identical boundaries (bins
                     # accumulate possible positions, not observed counts)
