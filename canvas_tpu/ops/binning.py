@@ -194,9 +194,9 @@ def bin_contig_device(
 @partial(jax.jit, static_argnames=("bin_size", "max_bins", "cap",
                                    "interpret"))
 def bin_contig_device_fused(
-    p_bool: jnp.ndarray,     # bool  [Lp] possible flags (may be zero-padded)
+    p_packed: jnp.ndarray,   # uint8 [Lp/8] bit-packed possible flags
     obs_u8: jnp.ndarray,     # uint8 [Lp] raw observed hit counts
-    gc_bool: jnp.ndarray,    # bool  [Lp] G/C base flags
+    gc_packed: jnp.ndarray,  # uint8 [Lp/8] bit-packed G/C base flags
     offset: jnp.ndarray,     # int32 scalar — leading-n skip (for starts[0])
     real_len: jnp.ndarray,   # int32 scalar — contig length before padding
     bin_size: int,
@@ -219,12 +219,12 @@ def bin_contig_device_fused(
     transfers over a tunneled TPU pay ~0.2 s latency each)."""
     from canvas_tpu.ops.prefix_pallas import fused_prefix_sums
 
-    L = p_bool.shape[0]
+    L = obs_u8.shape[0]
     idx = jnp.arange(L, dtype=jnp.int32)
     live = (idx >= offset) & (idx < real_len)
-    p_u8 = jnp.where(live, p_bool, False).astype(jnp.uint8)
+    p_u8 = jnp.where(live, _unpack_bits(p_packed, L), jnp.uint8(0))
     pcum, ocum, gccum = fused_prefix_sums(p_u8, obs_u8,
-                                          gc_bool.astype(jnp.uint8),
+                                          _unpack_bits(gc_packed, L),
                                           cap=cap, interpret=interpret)
     total = pcum[real_len - 1]
     n_bins = total // bin_size
@@ -280,7 +280,11 @@ _DEVICE_TRACKS: dict[int, tuple] = {}
 
 
 def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int):
-    """(possible_dev, is_gc_dev, total_possible) with caching."""
+    """(packed_possible_dev, packed_is_gc_dev, total_possible) with caching.
+
+    Tracks cross the wire bit-packed (np.packbits, MSB-first) — 8x fewer
+    bytes over a tunneled TPU — and are unpacked on device inside the
+    binning jit."""
     key = id(possible)
     hit = _DEVICE_TRACKS.get(key)
     if hit is not None and hit[0] is possible and hit[1] == pad:
@@ -291,11 +295,19 @@ def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int):
         p = np.pad(p, (0, pad))
         g = np.pad(g, (0, pad))
     total = int(np.count_nonzero(p))
-    dp, dg = jnp.asarray(p), jnp.asarray(g)
+    dp, dg = jnp.asarray(np.packbits(p)), jnp.asarray(np.packbits(g))
     if len(_DEVICE_TRACKS) >= 64:  # bound host+HBM held by the cache
         _DEVICE_TRACKS.pop(next(iter(_DEVICE_TRACKS)))
     _DEVICE_TRACKS[key] = (possible, pad, dp, dg, total)
     return dp, dg, total
+
+
+def _unpack_bits(packed: jnp.ndarray, n: int) -> jnp.ndarray:
+    """np.packbits inverse on device (MSB-first): uint8 [n/8] -> uint8 [n]
+    of 0/1 values.  n must be a multiple of 8 (bucketed lengths are)."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, None] >> shifts[None, :]) & jnp.uint8(1)
+    return bits.reshape(n)
 
 
 def bin_sample(
@@ -333,9 +345,10 @@ def bin_sample(
             # contigs instead of serializing.
             off = int(t["offset"])
             L = len(t["possible"])
-            # big contigs: fixed-size buckets; small ones: next power of two
+            # big contigs: fixed-size buckets; small ones: next power of
+            # two (min 8: packed tracks need multiple-of-8 lengths)
             pad = ((-L) % LENGTH_BUCKET if L >= LENGTH_BUCKET
-                   else _next_pow2(L) - L)
+                   else max(_next_pow2(L), 8) - L)
             p_dev, gc_dev, total = _device_ref_tracks(
                 t["possible"], t["is_gc"], pad)
             obs_u8 = np.asarray(t["observed"], dtype=np.uint8)
