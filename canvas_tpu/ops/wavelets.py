@@ -24,6 +24,8 @@ reference does sequentially).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from canvas_tpu.ops import stats
@@ -54,7 +56,15 @@ def _best_split(x: np.ndarray) -> tuple[int, float, float]:
     return ind, ip[ind - 1], coeff
 
 
-def _best_splits_batch(x: np.ndarray, lo: np.ndarray,
+@functools.lru_cache(maxsize=64)
+def _bucket_consts(Lb: int):
+    """(iota int64 [Lb], m float64 [1, Lb-1], 1/m [1, Lb-1]) per bucket."""
+    iota = np.arange(Lb, dtype=np.int64)
+    m = np.arange(1, Lb, dtype=np.float64)[None, :]
+    return iota, m, 1.0 / m
+
+
+def _best_splits_batch(x_pad: np.ndarray, lo: np.ndarray,
                        lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized _best_split over many spans of x at once.
 
@@ -63,6 +73,10 @@ def _best_splits_batch(x: np.ndarray, lo: np.ndarray,
     np.cumsum over the 1-D slice — results are bit-identical to calling
     _best_split per span, but without the per-node Python dispatch (the
     tree has ~n nodes; per-node calls cost ~14s at 500k bins).
+
+    x_pad must extend at least max-bucket elements past the data (see
+    decompose), so row gathers need no bounds clamp; per-bucket index
+    vectors are lru-cached — fresh aranges cost ~2.5s per 1M-bin genome.
 
     lo: 0-based span starts; lens >= 2.  Returns (ind 1-based, coeff)."""
     k = len(lo)
@@ -74,25 +88,27 @@ def _best_splits_batch(x: np.ndarray, lo: np.ndarray,
     for b in np.unique(buck):
         sel = np.flatnonzero(buck == b)
         Lb = 1 << int(b)
+        iota, mcol, inv_m = _bucket_consts(Lb)
         ls = lens[sel]
-        rows = lo[sel][:, None] + np.arange(Lb, dtype=np.int64)[None, :]
-        in_span = np.arange(Lb, dtype=np.int64)[None, :] < ls[:, None]
-        X = np.where(in_span, x[np.minimum(rows, len(x) - 1)], 0.0)
+        rows = lo[sel][:, None] + iota[None, :]
+        in_span = iota[None, :] < ls[:, None]
+        X = np.where(in_span, x_pad[rows], 0.0)
         cs = np.cumsum(X, axis=1)
         nn = ls.astype(np.float64)[:, None]
-        total = cs[np.arange(len(sel)), ls - 1][:, None]
-        mcol = np.arange(1, Lb, dtype=np.float64)[None, :]
+        ksel = np.arange(len(sel))
+        total = cs[ksel, ls - 1][:, None]
         left = cs[:, :-1]
         right = total - left
         with np.errstate(invalid="ignore", divide="ignore"):
-            ip = (np.sqrt(1.0 / mcol - 1.0 / nn) * left
+            # inv_m is bitwise 1.0/m (same np division); nn*nn/mcol must
+            # stay a division — (n^2)*(1/m) rounds differently
+            ip = (np.sqrt(inv_m - 1.0 / nn) * left
                   - right / np.sqrt(nn * nn / mcol - nn))
         absip = np.where(mcol < nn, np.abs(ip), -np.inf)
         a = np.argmax(absip, axis=1)            # first max, like flatnonzero
         ind[sel] = a + 1
         mean = total[:, 0] / nn[:, 0]
-        coeff[sel] = (ip[np.arange(len(sel)), a]
-                      / np.maximum(0.5, mean / MEAN_SCALE))
+        coeff[sel] = ip[ksel, a] / np.maximum(0.5, mean / MEAN_SCALE)
     return ind, coeff
 
 
@@ -106,16 +122,45 @@ def decompose(x: np.ndarray) -> tuple[list[np.ndarray], float]:
     """
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
+    # pad so bucket-rectangle row gathers never need a bounds clamp: the
+    # largest bucket is the next power of two >= n
+    max_bucket = 1 << max(int(np.ceil(np.log2(max(n, 2)))), 1)
+    x_pad = np.concatenate([x, np.zeros(max_bucket, np.float64)])
+    # Exact-zero spans (no observed coverage, e.g. homozygous deletions)
+    # have all-zero inner products, so the argmax splits at index 1 every
+    # time and the subtree degenerates into a one-node-per-level comb of
+    # zero coefficients, `span length` levels deep.  Those chains are
+    # deterministic, so they are injected level-by-level without batch
+    # evaluation — the level structure (and hence the germline threshold
+    # ramp) is preserved bit-for-bit, but a 5k-bin deletion no longer
+    # costs 5k batched-evaluation rounds.
+    nz_prefix = np.concatenate([[0], np.cumsum(x != 0.0)])
+
+    def is_zero_span(s: np.ndarray, e: np.ndarray) -> np.ndarray:
+        # s, e: 1-based inclusive bounds
+        return nz_prefix[e.astype(np.int64)] - \
+            nz_prefix[s.astype(np.int64) - 1] == 0
+
+    pending: dict[int, list[np.ndarray]] = {}
+
+    def inject_chain(level0: int, s: float, e: float) -> None:
+        """Nodes ([s..e], [s+1..e], ..., [e-1..e]) at levels level0+0.."""
+        L = int(e - s)                        # produces L nodes
+        for k in range(L):
+            pending.setdefault(level0 + k, []).append(
+                np.array([0.0, 0.0, s + k, s + k, e]))
+
     ind, _, coeff = _best_split(x)
     tree: list[np.ndarray] = [np.array([[1.0, coeff, 1.0, ind, n]])]
+    frontier = tree[0]
+    if is_zero_span(np.array([1.0]), np.array([float(n)]))[0]:
+        # whole contig zero: root splits at 1, chain covers the rest
+        inject_chain(1, 2.0, float(n))
+        frontier = frontier[:0]
     j = 0
     while True:
-        level = tree[j]
-        # done when every node's left/right children are single points
-        if np.sum(level[:, 4] - level[:, 2] - 1.0) == 0:
-            break
-        idxs, starts = level[:, 0], level[:, 2]
-        splits, ends = level[:, 3], level[:, 4]
+        idxs, starts = frontier[:, 0], frontier[:, 2]
+        splits, ends = frontier[:, 3], frontier[:, 4]
         # node ids double per level exactly like the reference
         # (WaveletSegmentation.cs:318,350); on very deep trees they
         # saturate to inf in float64 there too — the id column is
@@ -130,12 +175,37 @@ def decompose(x: np.ndarray) -> tuple[list[np.ndarray], float]:
         c_id = np.concatenate([lid[pl], rid[pr]])[order]
         c_start = np.concatenate([starts[pl], splits[pr] + 1])[order]
         c_end = np.concatenate([splits[pl], ends[pr]])[order]
+        zero = is_zero_span(c_start, c_end)
+        for s, e in zip(c_start[zero], c_end[zero]):
+            inject_chain(j + 1, s, e)
+        c_id, c_start, c_end = c_id[~zero], c_start[~zero], c_end[~zero]
         lo = (c_start - 1).astype(np.int64)
         lens = (c_end - c_start + 1).astype(np.int64)
-        ci, cc = _best_splits_batch(x, lo, lens)
-        tree.append(np.stack(
-            [c_id, cc, c_start, ci + c_start - 1, c_end], axis=1))
+        ci, cc = _best_splits_batch(x_pad, lo, lens)
+        frontier = np.stack(
+            [c_id, cc, c_start, ci + c_start - 1, c_end], axis=1) \
+            if len(c_id) else np.zeros((0, 5))
         j += 1
+        injected = pending.pop(j, None)
+        level = (np.concatenate([frontier, np.stack(injected)])
+                 if injected else frontier)
+        if len(level) == 0:
+            break
+        tree.append(level)
+        # expansion continues only for batch children; injected chain
+        # nodes already carry their full subtrees in `pending`
+        if len(frontier) == 0:
+            # only chain levels remain — they are contiguous; drain them
+            for lev in sorted(pending):
+                assert lev == j + 1, "chain levels must be contiguous"
+                tree.append(np.stack(pending[lev]))
+                j += 1
+            break
+        # done when every remaining node's children are single points and
+        # nothing is pending
+        if not pending and \
+                np.sum(frontier[:, 4] - frontier[:, 2] - 1.0) == 0:
+            break
     smooth = float(np.sum(x) / np.sqrt(n))
     return tree, smooth
 
