@@ -92,3 +92,52 @@ def test_coverage_variability(rng):
     v = metrics.coverage_variability(cov, window=10_000)
     assert v == pytest.approx(0.0674, abs=0.02)  # MAD/median of N(100,10)
     assert metrics.coverage_variability({"chr1": np.zeros(10)}, 10_000) is None
+
+
+def _decompose_oracle(x):
+    """Sequential per-node recursion — the reference's tree construction
+    (FindBestUnbalancedHaarDecomposition, WaveletSegmentation.cs:264-379)."""
+    x = np.asarray(x, np.float64)
+    n = len(x)
+    ind, _, coeff = wavelets._best_split(x)
+    tree = [[(1.0, coeff, 1.0, float(ind), float(n))]]
+    j = 0
+    while True:
+        level = tree[j]
+        if sum(e - s - 1 for (_, _, s, _, e) in level) == 0:
+            break
+        nxt = []
+        for (idx, _, s, sp, e) in level:
+            if sp - s >= 1:
+                i2, _, c2 = wavelets._best_split(x[int(s) - 1:int(sp)])
+                nxt.append((2 * idx - 1, c2, s, i2 + s - 1, sp))
+            if e - sp >= 2:
+                i2, _, c2 = wavelets._best_split(x[int(sp):int(e)])
+                nxt.append((2 * idx, c2, sp + 1, i2 + sp, e))
+        tree.append(nxt)
+        j += 1
+    return tree
+
+
+@pytest.mark.parametrize("case", ["noise", "zero_region", "all_zero",
+                                  "leading_zero"])
+def test_decompose_matches_sequential_oracle(rng, case):
+    # zero spans take the injected-chain fast path; every tree must match
+    # the per-node construction level-for-level (order within a level is
+    # not consumed downstream)
+    data = {
+        "noise": np.abs(rng.normal(100, 10, 400)),
+        "zero_region": np.concatenate([
+            np.abs(rng.normal(100, 10, 150)), np.zeros(120),
+            np.abs(rng.normal(100, 10, 130))]),
+        "all_zero": np.zeros(64),
+        "leading_zero": np.concatenate([
+            np.zeros(50), np.abs(rng.normal(100, 10, 100))]),
+    }[case]
+    tree, _ = wavelets.decompose(data)
+    oracle = _decompose_oracle(data)
+    assert len(tree) == len(oracle)
+    for tl, ol in zip(tree, oracle):
+        got = sorted((r[2], r[3], r[4], r[1]) for r in tl)
+        want = sorted((s, sp, e, c) for (_, c, s, sp, e) in ol)
+        assert got == pytest.approx(want)
