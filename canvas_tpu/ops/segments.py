@@ -144,39 +144,62 @@ def post_process_segments(
     for contig in bin_start:
         starts = span_starts_by_contig.get(contig, set())
         excl = excluded_by_contig.get(contig, [])
-        # positions (1-based) at which reference ploidy changes
-        pl_breaks = np.asarray(ploidy_breaks_by_contig.get(contig, []), dtype=np.int64)
-        segs: list[BinnedSegment] = []
-        current: BinnedSegment | None = None
-        excl_idx = 0
-        prev_end = 0
-        for b in range(len(bin_start[contig])):
-            s = int(bin_start[contig][b])
-            e = int(bin_end[contig][b])
-            new_seg = s in starts
-            while excl_idx < len(excl) and excl[excl_idx][1] < prev_end:
-                excl_idx += 1
-            if excl_idx < len(excl):
-                mid = (excl[excl_idx][0] + excl[excl_idx][1]) // 2
-                if prev_end < mid <= e:
-                    new_seg = True
-            if prev_end > 0 and max_inter_bin_dist >= 0 \
-                    and prev_end + max_inter_bin_dist < s and not new_seg:
-                new_seg = True
-            if not new_seg and pl_breaks.size:
-                lo = prev_end if prev_end > 0 else 1
-                if np.any((pl_breaks > lo) & (pl_breaks <= e)):
-                    new_seg = True
-            if new_seg:
-                seg_num += 1
-                current = BinnedSegment(seg_num, [b])
-                segs.append(current)
-            elif current is None:
-                current = BinnedSegment(seg_num, [b])
-                segs.append(current)
-            else:
-                current.bin_indices.append(b)
-            prev_end = e
+        pl_breaks = np.asarray(sorted(ploidy_breaks_by_contig.get(contig, [])),
+                               dtype=np.int64)
+        s_arr = np.asarray(bin_start[contig], dtype=np.int64)
+        e_arr = np.asarray(bin_end[contig], dtype=np.int64)
+        n = len(s_arr)
+        if n == 0:
+            out[contig] = []
+            continue
+        prev_end = np.concatenate([[0], e_arr[:-1]])
+
+        # span starts
+        starts_sorted = np.fromiter(sorted(starts), dtype=np.int64,
+                                    count=len(starts))
+        new_seg = np.isin(s_arr, starts_sorted) if len(starts_sorted) \
+            else np.zeros(n, dtype=bool)
+        # forbidden-interval midpoints: the sequential pointer rests on the
+        # first interval with end >= prev_end (prev_end is monotone), which
+        # equals a searchsorted when interval ends are non-decreasing
+        if excl:
+            ends_excl = np.asarray([iv[1] for iv in excl], dtype=np.int64)
+            mids = np.asarray([(iv[0] + iv[1]) // 2 for iv in excl],
+                              dtype=np.int64)
+            if np.all(np.diff(ends_excl) >= 0):
+                act = np.searchsorted(ends_excl, prev_end, side="left")
+            else:   # nested/odd bed: walk the pointer like the reference
+                act = np.empty(n, dtype=np.int64)
+                p = 0
+                for b in range(n):
+                    while p < len(excl) and ends_excl[p] < prev_end[b]:
+                        p += 1
+                    act[b] = p
+            valid = act < len(excl)
+            mid = mids[np.minimum(act, len(excl) - 1)]
+            new_seg |= valid & (prev_end < mid) & (mid <= e_arr)
+        # inter-bin gap
+        if max_inter_bin_dist >= 0:
+            new_seg |= (prev_end > 0) & (prev_end + max_inter_bin_dist
+                                         < s_arr)
+        # reference-ploidy change over (prev_end or 1, binEnd]
+        if pl_breaks.size:
+            lo = np.where(prev_end > 0, prev_end, 1)
+            cnt = (np.searchsorted(pl_breaks, e_arr, side="right")
+                   - np.searchsorted(pl_breaks, lo, side="right"))
+            new_seg |= cnt > 0
+
+        bound = new_seg.copy()
+        bound[0] = True
+        gs = np.flatnonzero(bound)
+        ge = np.concatenate([gs[1:], [n]])
+        # a group takes a fresh number iff its first bin triggered
+        # new_seg; an untriggered first-of-contig group keeps the current
+        # counter (the scalar code's `elif current is None` branch)
+        ids = seg_num + np.cumsum(new_seg[gs])
+        segs = [BinnedSegment(int(i), list(range(a, b)))
+                for i, a, b in zip(ids, gs, ge)]
+        seg_num = int(ids[-1]) if len(ids) else seg_num
         out[contig] = segs
     return out
 

@@ -191,3 +191,72 @@ def test_merge_segments_multisample_alignment():
         [(0, 30_500), (30_500, 60_000)]
     assert [(s.begin, s.end) for s in out["s2"]] == \
         [(0, 30_500), (30_500, 60_000)]
+
+
+def _post_process_oracle(span_starts, span_ends, bin_start, bin_end,
+                         excluded=None, max_dist=1_000_000, pl=None):
+    """The sequential per-bin grouping (SegmentationResultsProcessor.cs)."""
+    excluded = excluded or {}
+    pl = pl or {}
+    seg_num = -1
+    out = {}
+    for contig in bin_start:
+        starts = span_starts.get(contig, set())
+        excl = excluded.get(contig, [])
+        pl_breaks = np.asarray(pl.get(contig, []), dtype=np.int64)
+        segs, current, excl_idx, prev_end = [], None, 0, 0
+        for b in range(len(bin_start[contig])):
+            s, e = int(bin_start[contig][b]), int(bin_end[contig][b])
+            new_seg = s in starts
+            while excl_idx < len(excl) and excl[excl_idx][1] < prev_end:
+                excl_idx += 1
+            if excl_idx < len(excl):
+                mid = (excl[excl_idx][0] + excl[excl_idx][1]) // 2
+                if prev_end < mid <= e:
+                    new_seg = True
+            if prev_end > 0 and max_dist >= 0 and prev_end + max_dist < s \
+                    and not new_seg:
+                new_seg = True
+            if not new_seg and pl_breaks.size:
+                lo = prev_end if prev_end > 0 else 1
+                if np.any((pl_breaks > lo) & (pl_breaks <= e)):
+                    new_seg = True
+            if new_seg:
+                seg_num += 1
+                current = seg.BinnedSegment(seg_num, [b])
+                segs.append(current)
+            elif current is None:
+                current = seg.BinnedSegment(seg_num, [b])
+                segs.append(current)
+            else:
+                current.bin_indices.append(b)
+            prev_end = e
+        out[contig] = segs
+    return out
+
+
+def test_post_process_matches_sequential_oracle():
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        bin_start, bin_end, spans, excl, pl = {}, {}, {}, {}, {}
+        for contig in ("chr1", "chr2"):
+            n = int(rng.integers(50, 300))
+            widths = rng.integers(50, 400, n)
+            gaps = rng.choice([0, 0, 0, 2_000_000], n)
+            starts = np.cumsum(widths + gaps) - widths
+            bin_start[contig] = starts
+            bin_end[contig] = starts + widths
+            spans[contig] = set(
+                int(starts[i]) for i in rng.choice(n, 5, replace=False))
+            mid = int(starts[n // 2])
+            excl[contig] = [(mid, mid + 100), (mid + 5_000, mid + 6_000)]
+            pl[contig] = [int(starts[n // 3]) + 1]
+        got = seg.post_process_segments(
+            spans, {}, bin_start, bin_end, excluded_by_contig=excl,
+            max_inter_bin_dist=1_000_000, ploidy_breaks_by_contig=pl)
+        want = _post_process_oracle(spans, {}, bin_start, bin_end,
+                                    excluded=excl, pl=pl)
+        for contig in bin_start:
+            assert [(s.identifier, s.bin_indices) for s in got[contig]] == \
+                [(s.identifier, s.bin_indices) for s in want[contig]], \
+                (trial, contig)
