@@ -585,6 +585,27 @@ def grid_search(
     if best_model is None:
         best_model = min(all_models, key=lambda m: m.deviation)
 
+    # Dedup-model sanity probe (:2058-2080): when the winner looks like a
+    # genome-duplication artifact (ploidy>3, low diploid coverage, purity>0),
+    # score the model where its CN=2 becomes CN=1 / CN=4 becomes CN=2.  The
+    # reference only logs when the deduped model is competitive; results are
+    # deliberately not used to change the call.
+    if (best_model.ploidy > 3 and best_model.diploid_coverage < 90
+            and best_model.purity > 0):
+        tumor_haploid = best_model.diploid_coverage * best_model.purity / 2
+        normal_contrib = best_model.diploid_coverage * (1 - best_model.purity)
+        dedup_diploid = normal_contrib + 4 * tumor_haploid
+        dedup_purity = 1 - normal_contrib / dedup_diploid
+        dedup = PurityModel(dedup_diploid, dedup_purity)
+        model_deviation(dedup, initialize_ploidies(mean_coverage), infos,
+                        coverage_weight, cluster_ids, n_clusters,
+                        mean_coverage)
+        if dedup.deviation < best_model.deviation + 0.001:
+            print(f">>> Deduped model should be considered: Deviation "
+                  f"{dedup.deviation:.5f}, coverage {dedup.diploid_coverage}, "
+                  f"purity {dedup.purity * 100:.1f} vs duped model deviation "
+                  f"{best_model.deviation}")
+
     # inter-model genome edit distance across top models (:2082-2094)
     scored.sort(key=lambda t: -t[0])
     inter = 0.0

@@ -162,3 +162,31 @@ def test_fit_gaussians_and_posterior_assignment(rng):
     from collections import Counter
     c = Counter(s.copy_number for s in segs)
     assert c.most_common(1)[0][0] in (1, 2, 3)
+
+
+def test_dedup_model_probe_logs_competitive_model(rng, capsys):
+    # A fully genome-duplicated tumor: every segment CN=4 at diploid
+    # coverage 50 is indistinguishable from CN=2 at coverage 100.  When the
+    # winner has ploidy>3, coverage<90, purity>0, the dedup probe
+    # (SomaticCaller.cs:2058-2080) must evaluate the halved model and log
+    # that it is competitive (log-only; the call itself is unchanged).
+    purity, dip = 0.9, 50.0
+    segs = []
+    pos = 0
+    for _ in range(12):
+        segs.append(make_tumor_segment(
+            "chr1", pos, pos + 2_000_000, 4, 2, purity, dip, rng))
+        pos += 2_000_000
+    infos, _ = som.usable_segments_with_relaxation(segs)
+    cw = som.coverage_weighting_factor(
+        int(np.median([i.coverage for i in infos])), None)
+    best, _ = som.grid_search(
+        infos, mean_coverage=float(np.mean([i.coverage for i in infos])),
+        genome_length=pos, coverage_weight=cw,
+        median_coverage_level=int(np.median([i.coverage for i in infos])))
+    out = capsys.readouterr().out
+    if best.ploidy > 3 and best.diploid_coverage < 90 and best.purity > 0:
+        assert "Deduped model should be considered" in out
+    else:
+        # grid may legitimately pick the deduped interpretation outright
+        assert best.ploidy == pytest.approx(2.0, abs=0.5)

@@ -394,3 +394,37 @@ def test_check_flags_concordance(tmp_path, rng):
     pct2 = fk.check_flags(tmp_path / "k1.fa", tmp_path / "k3.fa",
                           log=lambda *_: None)
     assert pct2 < 100.0
+
+
+def test_sweep_parameters_cartesian(tmp_path):
+    from canvas_tpu.tools import sweep_parameters as sp
+
+    grid = {"CanvasBin,-d": [50, 100], "CanvasPartition,-m": ["HMM", "Wavelets"]}
+    combos = sp.combinations(grid)
+    assert len(combos) == 4
+    # odometer order: last flag varies fastest
+    assert [c["CanvasPartition,-m"] for c in combos] == [
+        "HMM", "Wavelets", "HMM", "Wavelets"]
+
+    def run_fn(sample, combo):
+        if combo["CanvasBin,-d"] == 50 and sample == "s_crash":
+            raise RuntimeError("boom")
+        return combo
+
+    def score_fn(sample, combo):
+        # peak score at (100, HMM)
+        return [1.0 - abs(combo["CanvasBin,-d"] - 100) / 100
+                - (0.0 if combo["CanvasPartition,-m"] == "HMM" else 0.25)]
+
+    results = sp.run_sweep(grid, run_fn, score_fn,
+                           ["s1", "s_crash"], tmp_path / "ParamSweep")
+    summary = (tmp_path / "ParamSweep" / "ResultsSummary.txt").read_text()
+    lines = summary.strip().splitlines()
+    assert lines[0].startswith("#Index")
+    assert len(lines) == 5
+    # combos with -d 50 hit the crashing sample -> FAIL rows
+    assert sum("FAIL" in l for l in lines) == 2
+    ok = [r for r in results if not r["failed"]]
+    best = max(ok, key=lambda r: r["mean"])
+    assert best["combo"] == {"CanvasBin,-d": 100, "CanvasPartition,-m": "HMM"}
+    assert (tmp_path / "ParamSweep" / "Results0.txt").exists()
