@@ -111,6 +111,146 @@ DEFAULT_QSCORE_PARAMS = {
 
 DEFAULT = CanvasConfig()
 
+_WARMUP_THREAD = None
+
+
+def warm_device_session() -> "object | None":
+    """Pay the device session's first-fetch toll off the critical path.
+
+    On a tunneled TPU the process's FIRST host fetch of any device result
+    intermittently blocks for minutes while the remote session spins up
+    (measured 45-400 s; every later fetch runs at wire speed).  Any fetch
+    absorbs it, so a daemon thread fetches a trivial jit result while the
+    caller gets on with host-side work (reference-track parsing, BAM
+    ingest).  Runs once per process; safe and ~instant on CPU backends.
+    Returns the thread so callers can join() before timing-sensitive work.
+    """
+    global _WARMUP_THREAD
+    if _WARMUP_THREAD is not None:
+        return _WARMUP_THREAD
+    import threading
+
+    def _warm():
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as _np
+
+            _np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros(8)))
+        except Exception:  # pragma: no cover - no device: nothing to warm
+            pass
+
+    _WARMUP_THREAD = threading.Thread(
+        target=_warm, daemon=True, name="canvas-tpu-session-warmup")
+    _install_teardown_guard()
+    _WARMUP_THREAD.start()
+    return _WARMUP_THREAD
+
+
+# Abandoned hedge-fetch threads (stalled inside a device RPC).  Interpreter
+# teardown with a thread blocked in the client RPC layer aborts the process
+# AFTER all useful work is done, so if any are still alive at exit we flush
+# and skip C++ teardown.  Caveat: a SystemExit(n) racing an abandoned fetch
+# loses its exit code (uncaught exceptions are preserved via excepthook).
+_ABANDONED_FETCHES: list = []
+_EXIT_CODE = [0]
+
+
+def _teardown_guard():  # pragma: no cover - exercised only on stalls
+    pending = list(_ABANDONED_FETCHES)
+    if _WARMUP_THREAD is not None:
+        pending.append(_WARMUP_THREAD)
+    if any(t.is_alive() for t in pending):
+        import sys
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(_EXIT_CODE[0])
+
+
+_GUARD_INSTALLED = [False]
+
+
+def _install_teardown_guard() -> None:
+    import atexit
+    import sys
+
+    if _GUARD_INSTALLED[0]:
+        return
+    _GUARD_INSTALLED[0] = True
+    atexit.register(_teardown_guard)
+    old_hook = sys.excepthook
+
+    def hook(tp, value, tb):
+        _EXIT_CODE[0] = 1
+        old_hook(tp, value, tb)
+
+    sys.excepthook = hook
+
+
+def hedged_fetch(fetch_fn, fallback_fn, grace: float | None = None,
+                 ready=None):
+    """Device→host fetch with an exact host-oracle hedge.
+
+    Remote/tunneled device sessions can stall for minutes, either before
+    results materialize (session open) or inside the D2H RPC itself.  Two
+    layers guard the critical path:
+      1. when `ready` (a list of jax arrays) is given, poll is_ready() —
+         threadless — until `grace` expires; never ready → fallback_fn();
+      2. once ready (or with no `ready` handle), run fetch_fn() in a daemon
+         thread with its own `grace`; a stalled fetch → fallback_fn(), and
+         the abandoned thread is registered so interpreter teardown skips
+         the aborting C++ cleanup.
+    fetch and fallback must be equivalent — all our fallbacks are the exact
+    oracles the kernels are unit-tested against.  On CPU backends the fetch
+    is local and runs inline.  Grace defaults to $CANVAS_TPU_FETCH_GRACE_S
+    (10 s); non-positive grace disables the hedge.
+    """
+    import threading
+    import time
+
+    if grace is None:
+        grace = float(os.environ.get("CANVAS_TPU_FETCH_GRACE_S", "10"))
+    if grace <= 0:
+        return fetch_fn()
+    try:
+        import jax
+        local_backend = jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        local_backend = True
+    if local_backend:
+        return fetch_fn()
+
+    if ready is not None:
+        deadline = time.monotonic() + grace
+        while not all(r.is_ready() for r in ready if hasattr(r, "is_ready")):
+            if time.monotonic() >= deadline:
+                return fallback_fn()
+            time.sleep(0.02)
+
+    result: dict = {}
+    done = threading.Event()
+
+    def _run():
+        try:
+            result["value"] = fetch_fn()
+        except Exception as e:  # pragma: no cover - surfaced below
+            result["error"] = e
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_run, daemon=True, name="canvas-tpu-fetch")
+    t.start()
+    if done.wait(grace):
+        if "error" in result:
+            raise result["error"]
+        return result["value"]
+    fallback = fallback_fn()
+    if done.is_set() and "value" in result:
+        return result["value"]
+    _ABANDONED_FETCHES.append(t)
+    _install_teardown_guard()
+    return fallback
+
 
 def running_on_tpu() -> bool:
     import jax

@@ -402,13 +402,35 @@ def bin_sample(
             out[name] = bin_contig_np(
                 t["possible"], t["observed"], t["is_gc"], bin_size,
                 t["offset"], mode, t.get("gc_weights"))
-    for name, dev in pending.items():
-        packed = np.asarray(dev)     # ONE D2H fetch per contig
-        v = packed[4].astype(bool)
-        out[name] = (packed[0][v].astype(np.int64),
-                     packed[1][v].astype(np.int64),
-                     packed[2][v].astype(np.int16),
-                     packed[3][v].astype(np.float32))
+    if pending:
+        def fetch():
+            res = {}
+            for name, dev in pending.items():
+                packed = np.asarray(dev)     # ONE D2H fetch per contig
+                v = packed[4].astype(bool)
+                res[name] = (packed[0][v].astype(np.int64),
+                             packed[1][v].astype(np.int64),
+                             packed[2][v].astype(np.int16),
+                             packed[3][v].astype(np.float32))
+            return res
+
+        def fallback():
+            # exact host oracle (same ints, same rounding) — see module
+            # tests asserting fused-kernel/bin_contig_np equality
+            res = {}
+            for name in pending:
+                t = tracks[name]
+                obs = np.asarray(t["observed"])
+                if mode == "Binary":
+                    obs = np.minimum(obs, 1)
+                res[name] = bin_contig_np(
+                    t["possible"], obs, t["is_gc"], bin_size,
+                    t["offset"], mode)
+            return res
+
+        from canvas_tpu.config import hedged_fetch
+        out.update(hedged_fetch(fetch, fallback,
+                                ready=list(pending.values())))
     return out
 
 

@@ -173,7 +173,10 @@ def log_transition(n_states: int = N_STATES, self_p: float = SELF_TRANSITION):
     off = (1.0 - self_p) / (n_states - 1)
     t = np.full((n_states, n_states), off)
     np.fill_diagonal(t, self_p)
-    return jnp.asarray(np.log(t), dtype=jnp.float32)
+    # host array: callers jnp.asarray it as needed; returning a device
+    # array here would cost an H2D *and* a (stall-prone) D2H round trip
+    # for the numpy consumers
+    return np.log(t).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -405,6 +408,37 @@ def viterbi_decode_scan(log_em, log_trans, log_init, mask):
     return jnp.concatenate([first[:, None], jnp.moveaxis(path, 0, 1)], axis=1)
 
 
+def viterbi_decode_np(log_em: np.ndarray, log_trans: np.ndarray,
+                      log_init: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Pure-numpy sequential Viterbi, decision-identical to
+    viterbi_decode_scan (float32 DP, first-max argmax tie-breaking).  Used
+    as the host hedge when a remote device session stalls (config.hedged_fetch)
+    and as a dependency-free oracle."""
+    log_em = np.asarray(log_em, np.float32)
+    log_trans = np.asarray(log_trans, np.float32)
+    log_init = np.asarray(log_init, np.float32)
+    B, T, S = log_em.shape
+    score = np.where(mask[:, 0, None], log_init[None] + log_em[:, 0],
+                     np.zeros((B, S), np.float32)).astype(np.float32)
+    bps = np.empty((B, T - 1, S), np.int32) if T > 1 else \
+        np.empty((B, 0, S), np.int32)
+    stay = np.broadcast_to(np.arange(S, dtype=np.int32)[None], (B, S))
+    for t in range(1, T):
+        cand = score[:, :, None] + log_trans[None]          # [B,S,S]
+        best = cand.max(axis=1) + log_em[:, t]
+        bp = cand.argmax(axis=1).astype(np.int32)
+        m = mask[:, t, None]
+        score = np.where(m, best, score).astype(np.float32)
+        bps[:, t - 1] = np.where(m, bp, stay)
+    path = np.empty((B, T), np.int32)
+    state = score.argmax(axis=-1).astype(np.int32)
+    path[:, T - 1] = state
+    for t in range(T - 2, -1, -1):
+        state = bps[np.arange(B), t, state]
+        path[:, t] = state
+    return path
+
+
 # ---------------------------------------------------------------------------
 # High-level per-contig segmentation (HiddenMarkovModelsRunner.Run)
 # ---------------------------------------------------------------------------
@@ -508,9 +542,24 @@ def segment_coverage_batched(
     if use_pallas is None:
         use_pallas = jax.default_backend() != "cpu"
     interpret = jax.default_backend() == "cpu"
-    paths = np.asarray(_emission_decode_batched(
+
+    paths_dev = _emission_decode_batched(
         jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(logt),
-        lt, li, chunk, interpret, use_pallas))
+        lt, li, chunk, interpret, use_pallas)
+
+    def fetch():
+        return np.asarray(paths_dev)
+
+    def fallback():
+        V = logt.shape[1]
+        idx = np.clip(np.rint(cov[..., 0]).astype(np.int32), 0, V - 1)
+        log_em = np.where(mask[..., None], logt.T[idx], 0.0)
+        return viterbi_decode_np(log_em, log_transition(n_states),
+                                 np.log(np.full(n_states, 1.0 / n_states,
+                                                np.float32)), mask)
+
+    from canvas_tpu.config import hedged_fetch
+    paths = hedged_fetch(fetch, fallback, ready=[paths_dev])
     for b, n in enumerate(live):
         out[n] = breakpoints_from_path(paths[b, :lengths[n]])
     return out

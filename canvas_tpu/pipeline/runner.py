@@ -96,6 +96,10 @@ class WorkflowContext:
     resume: bool = True
 
     def __post_init__(self):
+        # start absorbing the device session's first-fetch stall while we
+        # parse reference tracks / scan BAMs on the host
+        from canvas_tpu.config import warm_device_session
+        warm_device_session()
         kmer = Path(self.reference_folder) / "kmer.fa"
         gs = Path(self.reference_folder) / "GenomeSize.xml"
         contigs = (ContigTable.from_genome_size_xml(gs) if gs.exists() else None)

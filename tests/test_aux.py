@@ -165,3 +165,62 @@ def test_load_parameter_file(tmp_path):
     bad.write_text(json.dumps({"NotAKey": 1}))
     with pytest.raises(ValueError):
         load_parameter_file(bad)
+
+
+def test_hedged_fetch_prefers_fast_device(monkeypatch):
+    import jax
+    from canvas_tpu import config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert config.hedged_fetch(lambda: "device", lambda: "host",
+                               grace=5.0) == "device"
+
+
+def test_hedged_fetch_falls_back_on_stall(monkeypatch):
+    import time as _time
+
+    import jax
+    from canvas_tpu import config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    calls = []
+
+    def slow_fetch():
+        _time.sleep(3.0)
+        calls.append("late")
+        return "device"
+
+    t0 = _time.time()
+    got = config.hedged_fetch(slow_fetch, lambda: "host", grace=0.1)
+    assert got == "host"
+    assert _time.time() - t0 < 2.0  # did not wait for the stalled fetch
+
+
+def test_hedged_fetch_inline_on_cpu():
+    from canvas_tpu import config
+
+    # CPU backend: no thread, straight call
+    assert config.hedged_fetch(lambda: 42, lambda: 0, grace=10.0) == 42
+
+
+def test_hedged_fetch_propagates_fetch_error(monkeypatch):
+    import jax
+    from canvas_tpu import config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def bad_fetch():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        config.hedged_fetch(bad_fetch, lambda: 0, grace=5.0)
+
+
+def test_warm_device_session_idempotent():
+    from canvas_tpu import config
+
+    t1 = config.warm_device_session()
+    t2 = config.warm_device_session()
+    assert t1 is t2
+    t1.join(timeout=30)
+    assert not t1.is_alive()

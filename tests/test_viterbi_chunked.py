@@ -58,3 +58,28 @@ def test_chunked_realistic_hmm(rng):
     got = np.asarray(hmm.viterbi_decode_chunked(log_em, lt, li, mask, chunk=128))
     np.testing.assert_array_equal(got, want)
     assert set(np.unique(got[0, 300:395])) == {1}
+
+
+def test_numpy_viterbi_matches_scan_oracle(rng):
+    for (B, T, S) in [(2, 37, 3), (3, 256, 5), (1, 513, 5)]:
+        log_em, lt, li = _random_problem(rng, B, T, S)
+        mask = np.ones((B, T), dtype=bool)
+        want = np.asarray(hmm.viterbi_decode_scan(
+            jnp.asarray(log_em), jnp.asarray(lt), jnp.asarray(li),
+            jnp.asarray(mask)))
+        got = hmm.viterbi_decode_np(log_em, lt, li, mask)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_numpy_viterbi_ragged_masks(rng):
+    B, T, S = 4, 100, 5
+    log_em, lt, li = _random_problem(rng, B, T, S)
+    mask = np.zeros((B, T), dtype=bool)
+    for b, L in enumerate([100, 73, 32, 1]):
+        mask[b, :L] = True
+    want = np.asarray(hmm.viterbi_decode_scan(
+        jnp.asarray(log_em), jnp.asarray(lt), jnp.asarray(li),
+        jnp.asarray(mask)))
+    got = hmm.viterbi_decode_np(log_em, lt, li, mask)
+    for b, L in enumerate([100, 73, 32, 1]):
+        np.testing.assert_array_equal(got[b, :L], want[b, :L])
