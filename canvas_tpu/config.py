@@ -112,6 +112,23 @@ DEFAULT_QSCORE_PARAMS = {
 DEFAULT = CanvasConfig()
 
 _WARMUP_THREAD = None
+# bytes/s host->device, measured once by the warmup thread (None = unknown)
+_SESSION_H2D_BPS: list = [None]
+
+
+def hedge_grace() -> float:
+    """The hedge grace period (seconds) — see hedged_fetch."""
+    return float(os.environ.get("CANVAS_TPU_FETCH_GRACE_S", "10"))
+
+
+def predicted_h2d_seconds(n_bytes: int) -> float | None:
+    """Expected host->device transfer time at the measured session
+    bandwidth, or None while unmeasured (warmup still running / no device).
+    A generous 2x slack keeps the estimate conservative on bursty links."""
+    bps = _SESSION_H2D_BPS[0]
+    if not bps:
+        return None
+    return 2.0 * n_bytes / bps
 
 
 def warm_device_session() -> "object | None":
@@ -132,11 +149,21 @@ def warm_device_session() -> "object | None":
 
     def _warm():
         try:
+            import time as _time
+
             import jax
             import jax.numpy as jnp
             import numpy as _np
 
             _np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros(8)))
+            if jax.default_backend() != "cpu":
+                # measure host->device bandwidth once the session is open;
+                # stage code uses it to decide device vs host-oracle paths
+                probe = _np.zeros(16 << 20, _np.uint8)
+                t0 = _time.monotonic()
+                jnp.asarray(probe).block_until_ready()
+                dt = max(_time.monotonic() - t0, 1e-6)
+                _SESSION_H2D_BPS[0] = probe.nbytes / dt
         except Exception:  # pragma: no cover - no device: nothing to warm
             pass
 
@@ -209,7 +236,7 @@ def hedged_fetch(fetch_fn, fallback_fn, grace: float | None = None,
     import time
 
     if grace is None:
-        grace = float(os.environ.get("CANVAS_TPU_FETCH_GRACE_S", "10"))
+        grace = hedge_grace()
     if grace <= 0:
         return fetch_fn()
     try:
@@ -220,10 +247,15 @@ def hedged_fetch(fetch_fn, fallback_fn, grace: float | None = None,
     if local_backend:
         return fetch_fn()
 
+    import sys
+
     if ready is not None:
         deadline = time.monotonic() + grace
         while not all(r.is_ready() for r in ready if hasattr(r, "is_ready")):
             if time.monotonic() >= deadline:
+                print(f"[canvas_tpu] device results not ready after "
+                      f"{grace:.0f}s (stalled session?); computing on the "
+                      f"host oracle", file=sys.stderr)
                 return fallback_fn()
             time.sleep(0.02)
 
@@ -244,6 +276,8 @@ def hedged_fetch(fetch_fn, fallback_fn, grace: float | None = None,
         if "error" in result:
             raise result["error"]
         return result["value"]
+    print(f"[canvas_tpu] device fetch still blocked after {grace:.0f}s "
+          f"(stalled RPC); computing on the host oracle", file=sys.stderr)
     fallback = fallback_fn()
     if done.is_set() and "value" in result:
         return result["value"]

@@ -46,6 +46,14 @@ TRUNCATED_CAP = 10
 # Bin-size estimation
 # ---------------------------------------------------------------------------
 
+def _gc_pct_host(gc_count: np.ndarray, nuc: np.ndarray) -> np.ndarray:
+    """(int)(100f * gcCount / nucleotideCount) (CanvasBin.cs:638) in IEEE
+    f32 on the HOST — device divides are reciprocal-based and land 1 off on
+    ~0.06% of bins, so kernels ship integer GC counts instead."""
+    return (np.float32(100.0) * gc_count.astype(np.float32)
+            / nuc.astype(np.float32)).astype(np.int16)
+
+
 def contig_rate(possible: np.ndarray, observed: np.ndarray) -> float:
     """Observed/possible rate for one contig (CanvasBin.cs:55-60)."""
     n_pos = int(np.count_nonzero(possible))
@@ -166,9 +174,10 @@ def bin_contig_device(
 
     gccum = jnp.cumsum(is_gc.astype(jnp.int32))
     gccum0 = jnp.concatenate([jnp.zeros(1, jnp.int32), gccum])
+    # integer GC COUNT only — the percent's f32 divide happens on host:
+    # TPU division is reciprocal-based (not IEEE correctly-rounded) and
+    # lands 1 off the reference's `(int)(100f*gc/nuc)` on ~0.06% of bins
     gc_count = gccum0[ends + 1] - gccum0[starts]
-    nuc = (ends + 1 - starts).astype(jnp.float32)
-    gc_pct = (jnp.float32(100.0) * gc_count.astype(jnp.float32) / nuc).astype(jnp.int32)
 
     # Per-bin count via segment_sum, NOT diff-of-f32-cumsum: a genome-length
     # f32 running sum exceeds 2^24 and its cancellation error corrupts bin
@@ -185,7 +194,7 @@ def bin_contig_device(
     return (
         jnp.where(valid, starts, zi),
         jnp.where(valid, ends + 1, zi),
-        jnp.where(valid, gc_pct, zi),
+        jnp.where(valid, gc_count, zi),
         jnp.where(valid, counts, 0.0),
         valid,
     )
@@ -195,7 +204,8 @@ def bin_contig_device(
                                    "interpret"))
 def bin_contig_device_fused(
     p_packed: jnp.ndarray,   # uint8 [Lp/8] bit-packed possible flags
-    obs_u8: jnp.ndarray,     # uint8 [Lp] raw observed hit counts
+    obs_packed: jnp.ndarray, # uint8 [Lp/2] nibble-packed observed counts,
+                             #   clamped to 15 (exact: fused caps are <= 10)
     gc_packed: jnp.ndarray,  # uint8 [Lp/8] bit-packed G/C base flags
     offset: jnp.ndarray,     # int32 scalar — leading-n skip (for starts[0])
     real_len: jnp.ndarray,   # int32 scalar — contig length before padding
@@ -219,7 +229,13 @@ def bin_contig_device_fused(
     transfers over a tunneled TPU pay ~0.2 s latency each)."""
     from canvas_tpu.ops.prefix_pallas import fused_prefix_sums
 
-    L = obs_u8.shape[0]
+    L = obs_packed.shape[0] * 2
+    # nibble unpack (big-end first, matching the host packer): observed
+    # counts cross the tunnel at 4 bits/position — the wire is the
+    # bottleneck for genome-length arrays, not HBM or flops
+    hi = obs_packed >> 4
+    lo = obs_packed & jnp.uint8(0xF)
+    obs_u8 = jnp.stack([hi, lo], axis=-1).reshape(L)
     idx = jnp.arange(L, dtype=jnp.int32)
     live = (idx >= offset) & (idx < real_len)
     p_u8 = jnp.where(live, _unpack_bits(p_packed, L), jnp.uint8(0))
@@ -237,10 +253,10 @@ def bin_contig_device_fused(
     starts = jnp.concatenate([offset[None].astype(jnp.int32), ends[:-1] + 1])
 
     prev = jnp.maximum(starts - 1, 0)
+    # integer GC COUNT only — the percent's f32 divide happens on host
+    # after the fetch (TPU divide is not IEEE correctly-rounded; the
+    # reference truncates an IEEE `100f * gc / nuc`)
     gc_count = gccum[ends] - jnp.where(starts > 0, gccum[prev], 0)
-    nuc = (ends + 1 - starts).astype(jnp.float32)
-    gc_pct = (jnp.float32(100.0) * gc_count.astype(jnp.float32)
-              / nuc).astype(jnp.int32)
     # obs is masked by `possible` inside the kernel and possible is zeroed
     # before `offset`, so ocum[offset-1] == 0 and the diff is exact (int32:
     # each bin sum <= cap*bin_size).
@@ -250,7 +266,7 @@ def bin_contig_device_fused(
     return jnp.stack([
         jnp.where(valid, starts, zi),
         jnp.where(valid, ends + 1, zi),
-        jnp.where(valid, gc_pct, zi),
+        jnp.where(valid, gc_count, zi),
         jnp.where(valid, counts, zi),
         valid.astype(jnp.int32),
     ])
@@ -331,6 +347,21 @@ def bin_sample(
     out = {}
     on_cpu = jax.default_backend() == "cpu"
     use_fused = (not on_cpu) if force_fused is None else force_fused
+    if use_fused and force_fused is None and mode in _FUSED_CAPS:
+        # adaptive path choice: when the measured host->device bandwidth
+        # says the observed tracks can't cross the wire within the hedge
+        # grace period (tunneled TPU), skip the device round-trip and run
+        # the exact numpy oracle directly — same outputs either way
+        from canvas_tpu.config import predicted_h2d_seconds, hedge_grace
+
+        wire_bytes = sum((len(t["possible"]) + 1) // 2
+                         for t in tracks.values())
+        eta = predicted_h2d_seconds(wire_bytes)
+        if eta is not None and eta > hedge_grace():
+            import sys
+            print(f"[canvas_tpu] predicted H2D {eta:.0f}s exceeds hedge "
+                  f"grace; binning on the host oracle", file=sys.stderr)
+            use_fused = False
     interpret = on_cpu
     pending: dict[str, jnp.ndarray] = {}
     for name, t in tracks.items():
@@ -354,17 +385,22 @@ def bin_sample(
             obs_u8 = np.asarray(t["observed"], dtype=np.uint8)
             if pad:
                 obs_u8 = np.pad(obs_u8, (0, pad))
+            # nibble-pack (clamp 15 is exact under the fused caps <= 10):
+            # halves the bytes on the host->device wire
+            obs_c = np.minimum(obs_u8, 15)
+            obs_packed = (obs_c[0::2] << 4) | obs_c[1::2]
             max_bins = _next_pow2(max(total // bin_size, 1))
             pending[name] = bin_contig_device_fused(
-                p_dev, jnp.asarray(obs_u8), gc_dev,
+                p_dev, jnp.asarray(obs_packed), gc_dev,
                 jnp.asarray(off, dtype=jnp.int32),
                 jnp.asarray(L, dtype=jnp.int32),
                 bin_size, max_bins, cap=_FUSED_CAPS[mode],
                 interpret=interpret)
-        elif use_device and on_cpu and mode in _FUSED_CAPS:
-            # CPU backend: the exact numpy path (int-valued f64 cumsum)
-            # is byte-identical to the TPU fused kernel for these integer
-            # modes and ~10x faster than XLA-on-CPU here.
+        elif use_device and mode in _FUSED_CAPS:
+            # CPU backend, or device path declined above: the exact numpy
+            # path (int-valued cumsums) is byte-identical to the TPU fused
+            # kernel for these integer modes and ~10x faster than
+            # XLA-on-CPU here.
             obs = np.asarray(t["observed"])
             if mode == "Binary":
                 obs = np.minimum(obs, 1)
@@ -394,9 +430,9 @@ def bin_sample(
             c = np.asarray(c)[v]
             if mode == "GCContentWeighted":
                 c = np.round(c)
-            out[name] = (np.asarray(s)[v].astype(np.int64),
-                         np.asarray(e)[v].astype(np.int64),
-                         np.asarray(g)[v].astype(np.int16),
+            s = np.asarray(s)[v].astype(np.int64)
+            e = np.asarray(e)[v].astype(np.int64)
+            out[name] = (s, e, _gc_pct_host(np.asarray(g)[v], e - s),
                          c.astype(np.float32))
         else:
             out[name] = bin_contig_np(
@@ -408,9 +444,9 @@ def bin_sample(
             for name, dev in pending.items():
                 packed = np.asarray(dev)     # ONE D2H fetch per contig
                 v = packed[4].astype(bool)
-                res[name] = (packed[0][v].astype(np.int64),
-                             packed[1][v].astype(np.int64),
-                             packed[2][v].astype(np.int16),
+                s = packed[0][v].astype(np.int64)
+                e = packed[1][v].astype(np.int64)
+                res[name] = (s, e, _gc_pct_host(packed[2][v], e - s),
                              packed[3][v].astype(np.float32))
             return res
 
