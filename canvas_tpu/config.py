@@ -121,6 +121,17 @@ def hedge_grace() -> float:
     return float(os.environ.get("CANVAS_TPU_FETCH_GRACE_S", "10"))
 
 
+def session_ready() -> bool:
+    """True when the device session is known-open (the warmup thread's
+    trivial fetch has completed) or no warmup was requested.  Stage code
+    uses this to skip dispatching genome-length device work at a session
+    that has not opened yet — the hedge would only burn its grace period."""
+    t = _WARMUP_THREAD
+    if t is None:
+        return True
+    return not t.is_alive()
+
+
 def predicted_h2d_seconds(n_bytes: int) -> float | None:
     """Expected host->device transfer time at the measured session
     bandwidth, or None while unmeasured (warmup still running / no device).

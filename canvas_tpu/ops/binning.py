@@ -352,18 +352,25 @@ def bin_sample(
         # says the observed tracks can't cross the wire within the hedge
         # grace period (tunneled TPU), skip the device round-trip and run
         # the exact numpy oracle directly — same outputs either way
-        from canvas_tpu.config import predicted_h2d_seconds, hedge_grace
+        from canvas_tpu.config import (hedge_grace, predicted_h2d_seconds,
+                                       session_ready)
 
         wire_bytes = sum((len(t["possible"]) + 1) // 2
                          for t in tracks.values())
         eta = predicted_h2d_seconds(wire_bytes)
-        if eta is not None and eta > hedge_grace():
+        if not session_ready():
+            import sys
+            print("[canvas_tpu] device session not open yet; binning on "
+                  "the host oracle", file=sys.stderr)
+            use_fused = False
+        elif eta is not None and eta > hedge_grace():
             import sys
             print(f"[canvas_tpu] predicted H2D {eta:.0f}s exceeds hedge "
                   f"grace; binning on the host oracle", file=sys.stderr)
             use_fused = False
     interpret = on_cpu
     pending: dict[str, jnp.ndarray] = {}
+    host_batch: list[str] = []
     for name, t in tracks.items():
         if use_device and use_fused and mode in _FUSED_CAPS:
             # Fused Pallas path: exact int32 prefix diffs, one HBM pass.
@@ -400,12 +407,9 @@ def bin_sample(
             # CPU backend, or device path declined above: the exact numpy
             # path (int-valued cumsums) is byte-identical to the TPU fused
             # kernel for these integer modes and ~10x faster than
-            # XLA-on-CPU here.
-            obs = np.asarray(t["observed"])
-            if mode == "Binary":
-                obs = np.minimum(obs, 1)
-            out[name] = bin_contig_np(
-                t["possible"], obs, t["is_gc"], bin_size, t["offset"], mode)
+            # XLA-on-CPU here.  Deferred and run on a small thread pool
+            # below — numpy cumsums release the GIL.
+            host_batch.append(name)
         elif use_device:
             possible = np.asarray(t["possible"], dtype=bool)
             obs = np.asarray(t["observed"], dtype=np.float32)
@@ -438,6 +442,24 @@ def bin_sample(
             out[name] = bin_contig_np(
                 t["possible"], t["observed"], t["is_gc"], bin_size,
                 t["offset"], mode, t.get("gc_weights"))
+    if host_batch:
+        def _host_one(name):
+            t = tracks[name]
+            obs = np.asarray(t["observed"])
+            if mode == "Binary":
+                obs = np.minimum(obs, 1)
+            return bin_contig_np(t["possible"], obs, t["is_gc"], bin_size,
+                                 t["offset"], mode)
+
+        if len(host_batch) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(4, len(host_batch))) as ex:
+                for name, res in zip(host_batch,
+                                     ex.map(_host_one, host_batch)):
+                    out[name] = res
+        else:
+            out[host_batch[0]] = _host_one(host_batch[0])
+
     if pending:
         def fetch():
             res = {}
