@@ -224,3 +224,46 @@ def test_warm_device_session_idempotent():
     assert t1 is t2
     t1.join(timeout=30)
     assert not t1.is_alive()
+
+
+def test_session_ready_reflects_warmup_state(monkeypatch):
+    import threading
+
+    from canvas_tpu import config
+
+    # no warmup requested -> optimistic True
+    monkeypatch.setattr(config, "_WARMUP_THREAD", None)
+    assert config.session_ready()
+
+    gate = threading.Event()
+    t = threading.Thread(target=gate.wait, daemon=True)
+    t.start()
+    monkeypatch.setattr(config, "_WARMUP_THREAD", t)
+    assert not config.session_ready()   # warmup still blocked
+    gate.set()
+    t.join(timeout=5)
+    assert config.session_ready()
+
+
+def test_bin_sample_host_batch_threaded(rng):
+    # force the declined-device path on a CPU backend and check the
+    # threaded host batch matches per-contig bin_contig_np
+    from canvas_tpu.ops import binning
+
+    tracks = {}
+    want = {}
+    bs = 200
+    for i, L in enumerate([50_000, 70_000, 30_000]):
+        possible = rng.random(L) < 0.8
+        is_gc = rng.random(L) < 0.4
+        obs = np.minimum(rng.poisson(0.3, L), 50).astype(np.uint8)
+        obs[~possible] = 0
+        name = f"chr{i+1}"
+        tracks[name] = dict(possible=possible, observed=obs, is_gc=is_gc,
+                            offset=0, gc_weights=None)
+        want[name] = binning.bin_contig_np(possible, obs, is_gc, bs, 0,
+                                           "TruncatedDynamicRange")
+    got = binning.bin_sample(tracks, bs, force_fused=False)
+    for name in tracks:
+        for a, b in zip(got[name], want[name]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
