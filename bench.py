@@ -69,12 +69,12 @@ def main():
     out = step(covj, maskj)
     out.block_until_ready()
 
-    # best of 3 timed rounds: the tunneled TPU intermittently stalls for
+    # best of 4 timed rounds: the tunneled TPU intermittently stalls for
     # tens of seconds on an RPC; a stall inside one round must not be
     # reported as kernel throughput
-    n_iters = 5
+    n_iters = 10
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             out = step(covj, maskj)

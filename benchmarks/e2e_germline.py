@@ -31,8 +31,14 @@ from _synth import (READ_LEN, FLAG, make_reference,  # noqa: E402
                     synth_positions, write_bam_vectorized)
 
 
-def build_inputs(cache: Path, mbp: int, rate: float):
-    key = cache / f"g{mbp}_r{rate}"
+# hg19 canonical contig lengths in Mbp — used by --hg to reproduce the real
+# genome's contig-size distribution (chr1 at 249Mbp spans 8 device buckets)
+HG19_MBP = [249, 243, 198, 191, 181, 171, 159, 146, 141, 136, 135, 134,
+            115, 107, 103, 90, 81, 78, 59, 63, 48, 51, 155, 59]
+
+
+def build_inputs(cache: Path, mbp: int, rate: float, hg: bool = False):
+    key = cache / (f"hg{mbp}_r{rate}" if hg else f"g{mbp}_r{rate}")
     ref_dir, bam = key / "ref", key / "sample.bam"
     plan_file = key / "plan.json"
     if bam.exists() and (ref_dir / "kmer.fa").exists():
@@ -40,9 +46,16 @@ def build_inputs(cache: Path, mbp: int, rate: float):
     shutil.rmtree(key, ignore_errors=True)
     (key / "ref").mkdir(parents=True)
 
-    n_contigs = max(2, mbp // 30)
-    clen = mbp * 1_000_000 // n_contigs
-    contigs = {f"chr{i + 1}": clen for i in range(n_contigs)}
+    if hg:
+        scale = mbp / sum(HG19_MBP)
+        names = [f"chr{i + 1}" for i in range(22)] + ["chrX", "chrY"]
+        contigs = {n: int(L * scale * 1_000_000)
+                   for n, L in zip(names, HG19_MBP)}
+        n_contigs = len(contigs)
+    else:
+        n_contigs = max(2, mbp // 30)
+        clen = mbp * 1_000_000 // n_contigs
+        contigs = {f"chr{i + 1}": clen for i in range(n_contigs)}
     t0 = time.time()
     make_reference(ref_dir, contigs)
     print(f"[gen] reference {mbp}Mbp x {n_contigs} contigs: "
@@ -55,10 +68,10 @@ def build_inputs(cache: Path, mbp: int, rate: float):
     for i, (name, length) in enumerate(contigs.items()):
         p = []
         if i % 3 == 0:
-            p = [(clen // 4, clen // 4 + clen // 10, 1.0),
-                 (clen // 2, clen // 2 + clen // 10, 3.0)]
+            p = [(length // 4, length // 4 + length // 10, 1.0),
+                 (length // 2, length // 2 + length // 10, 3.0)]
         elif i % 3 == 1:
-            p = [(clen // 3, clen // 3 + clen // 12, 0.0)]
+            p = [(length // 3, length // 3 + length // 12, 0.0)]
         plan[name] = [(int(s), int(e), float(c)) for s, e, c in p]
         per_contig.append(synth_positions(rng, length, rate, p))
     total = write_bam_vectorized(bam, list(contigs.items()), per_contig)
@@ -74,10 +87,13 @@ def main():
     ap.add_argument("--rate", type=float, default=0.25)
     ap.add_argument("--cache", default="/tmp/canvas_tpu_bench")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--hg", action="store_true",
+                    help="use hg19-like contig length distribution "
+                         "(24 contigs; chr1 spans 8 device buckets)")
     args = ap.parse_args()
 
     cache = Path(args.cache)
-    ref_dir, bam, plan = build_inputs(cache, args.mbp, args.rate)
+    ref_dir, bam, plan = build_inputs(cache, args.mbp, args.rate, hg=args.hg)
 
     from canvas_tpu.pipeline import runner
 

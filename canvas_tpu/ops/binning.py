@@ -475,16 +475,20 @@ def bin_sample(
         def fallback():
             # exact host oracle (same ints, same rounding) — see module
             # tests asserting fused-kernel/bin_contig_np equality
-            res = {}
-            for name in pending:
+            def one(name):
                 t = tracks[name]
                 obs = np.asarray(t["observed"])
                 if mode == "Binary":
                     obs = np.minimum(obs, 1)
-                res[name] = bin_contig_np(
-                    t["possible"], obs, t["is_gc"], bin_size,
-                    t["offset"], mode)
-            return res
+                return bin_contig_np(t["possible"], obs, t["is_gc"],
+                                     bin_size, t["offset"], mode)
+
+            names = list(pending)
+            if len(names) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=min(4, len(names))) as ex:
+                    return dict(zip(names, ex.map(one, names)))
+            return {names[0]: one(names[0])}
 
         from canvas_tpu.config import hedged_fetch
         out.update(hedged_fetch(fetch, fallback,
