@@ -32,6 +32,12 @@ def _common(parser: argparse.ArgumentParser) -> None:
                         help="per-stage flag overrides, e.g. "
                              "'CanvasBin,-m Fragment' (repeatable; the "
                              "reference's --custom-parameters)")
+    parser.add_argument("--coordinator", default=None,
+                        metavar="HOST:PORT",
+                        help="jax.distributed coordinator for multi-host "
+                             "runs (with --num-processes/--process-id)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -93,6 +99,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.coordinator:
+        from canvas_tpu.parallel import distributed
+
+        pid, nproc = distributed.initialize(
+            args.coordinator, args.num_processes, args.process_id)
+        print(f"[canvas_tpu] multi-host: process {pid}/{nproc}",
+              file=sys.stderr)
     from canvas_tpu.config import CanvasConfig, load_parameter_file
 
     config = CanvasConfig()
