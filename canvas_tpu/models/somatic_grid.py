@@ -169,12 +169,15 @@ def evaluate_grid(
                                          cbest_d, 0.0), axis=1)
                          / max(sizes[k], 1), 0.0)
                 for k in range(n_clusters)], axis=1)       # [mc, K]
-            with np.errstate(invalid="ignore"):
-                med_dist = np.stack([
-                    np.nanmedian(np.where(cluster_onehot[:, k][None],
-                                          cbest_d, np.nan), axis=1)
-                    for k in range(n_clusters)], axis=1)
-            med_dist = np.nan_to_num(med_dist)
+            med_cols = []
+            for k in range(n_clusters):
+                if sizes[k] == 0:   # empty cluster: nanmedian would warn
+                    med_cols.append(np.zeros(mc))
+                    continue
+                med_cols.append(np.nanmedian(
+                    np.where(cluster_onehot[:, k][None], cbest_d, np.nan),
+                    axis=1))
+            med_dist = np.nan_to_num(np.stack(med_cols, axis=1))
             entropy = np.zeros((mc, n_clusters))
             for k in range(n_clusters):
                 if sizes[k] == 0:

@@ -203,7 +203,10 @@ def viterbi_decode(
     pass through unchanged; padded lanes decode to state 0 paths.
     """
     B, T, S = log_em.shape
-    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG_INF)
+    dt = log_em.dtype
+    log_trans = log_trans.astype(dt)
+    log_init = log_init.astype(dt)
+    eye = jnp.where(jnp.eye(S, dtype=bool), 0.0, NEG_INF).astype(dt)
 
     # Step matrices M_t[i,j] = log_trans[i,j] + log_em[t,j]  (t >= 1)
     steps = log_trans[None, None] + log_em[:, :, None, :]     # [B,T,S,S]
@@ -211,7 +214,8 @@ def viterbi_decode(
     # fold the initial distribution + first emission into t=0's matrix:
     init0 = (log_init + log_em[:, 0])[:, None, :]             # [B,1,S] -> rows equal
     m0 = jnp.broadcast_to(init0[:, :, None, :], (B, 1, S, S))[:, 0]
-    steps = steps.at[:, 0].set(jnp.where(mask[:, 0, None, None], m0, eye))
+    steps = steps.at[:, 0].set(
+        jnp.where(mask[:, 0, None, None], m0, eye).astype(dt))
 
     # prefix[t] = M_0 (x) ... (x) M_t ;  score[t,j] = max_i prefix[t][i,j]
     prefix = jax.lax.associative_scan(_maxplus_combine, steps, axis=1)
