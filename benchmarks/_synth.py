@@ -47,9 +47,24 @@ def synth_positions(rng, length: int, rate: float,
     return np.repeat(np.arange(length, dtype=np.int64), counts)
 
 
+def _write_bgzf(f, data: bytes) -> None:
+    """Append `data` to an open file as BGZF blocks (<=60000B payloads)."""
+    mv = memoryview(data)
+    for off in range(0, len(data), 60000):
+        chunk = bytes(mv[off:off + 60000])
+        comp = zlib.compress(chunk, 1)[2:-4]   # strip zlib wrapper
+        bsize = len(comp) + 25  # BSIZE = 18B header + data + 8B footer - 1
+        f.write(b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00"
+                b"BC\x02\x00" + struct.pack("<H", bsize))
+        f.write(comp)
+        f.write(struct.pack("<I", zlib.crc32(chunk)))
+        f.write(struct.pack("<I", len(chunk)))
+
+
 def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
                          per_contig_pos: list[np.ndarray],
-                         per_contig_alt: list[np.ndarray] | None = None
+                         per_contig_alt: list[np.ndarray] | None = None,
+                         slice_reads: int = 4_000_000,
                          ) -> int:
     """Write a coordinate-sorted BAM of fixed-shape 50M reads, vectorized.
 
@@ -60,6 +75,10 @@ def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
     per_contig_alt (optional): bool per read; alt reads carry all-'C'
     sequences instead of all-'A', so a pileup at a het site declared
     REF=A/ALT=C sees the planted allele fractions.
+
+    Records are built and compressed in `slice_reads`-read slices so memory
+    stays bounded at genome scale (a whole-genome 755M-read buffer would be
+    ~94GB; a slice is ~500MB).
     """
     header = bytearray(b"BAM\x01")
     text = b"@HD\tVN:1.6\tSO:coordinate\n"
@@ -73,58 +92,52 @@ def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
     rec_size = 125
     payload_len = rec_size - 4
 
-    buf = np.zeros((total, rec_size), np.uint8)
-    row = buf.view(np.uint8)
-    # constant fields
-    le32 = lambda v: np.frombuffer(struct.pack("<i", v), np.uint8)  # noqa: E731
-    row[:, 0:4] = le32(payload_len)
-    # l_read_name=10, mapq=50, bin=0, n_cigar=1, flag
-    row[:, 12] = 10
-    row[:, 13] = READ_LEN
-    row[:, 16:18] = np.frombuffer(struct.pack("<H", 1), np.uint8)
-    row[:, 18:20] = np.frombuffer(struct.pack("<H", FLAG), np.uint8)
-    row[:, 20:24] = le32(READ_LEN)
-    row[:, 24:28] = le32(-1)          # next_ref_id
-    row[:, 28:32] = le32(-1)          # next_pos
-    row[:, 32:36] = le32(0)           # tlen
-    # name 'r' + 8 digits + NUL at [36:46]
-    row[:, 36] = ord("r")
-    ids = np.arange(total, dtype=np.int64)
-    for d in range(8):
-        row[:, 37 + d] = (ids // 10 ** (7 - d)) % 10 + ord("0")
-    # cigar 50M at [46:50]
-    row[:, 46:50] = np.frombuffer(struct.pack("<I", (READ_LEN << 4) | 0),
-                                  np.uint8)
-    # seq: 25 bytes of 'AA' packed (code 1 = A) at [50:75]; alt reads are
-    # all-'C' (code 2 -> 0x22)
-    row[:, 50:75] = 0x11
-    if per_contig_alt is not None:
-        alt = np.concatenate([np.asarray(a, bool) for a in per_contig_alt])
-        row[alt, 50:75] = 0x22
-    # qual: 30 at [75:125]
-    row[:, 75:125] = 30
-
-    # per-record ref_id / pos
     ref_ids = np.concatenate([
-        np.full(len(p), i, np.int32) for i, p in enumerate(per_contig_pos)])
-    poss = np.concatenate(per_contig_pos).astype(np.int32)
-    row[:, 4:8] = ref_ids[:, None].view(np.uint8).reshape(total, 4)
-    row[:, 8:12] = poss[:, None].view(np.uint8).reshape(total, 4)
+        np.full(len(p), i, np.int32) for i, p in enumerate(per_contig_pos)]) \
+        if per_contig_pos else np.zeros(0, np.int32)
+    poss = (np.concatenate(per_contig_pos).astype(np.int32)
+            if per_contig_pos else np.zeros(0, np.int32))
+    alt_all = None
+    if per_contig_alt is not None:
+        alt_all = np.concatenate([np.asarray(a, bool)
+                                  for a in per_contig_alt])
 
-    raw = bytes(header) + buf.tobytes()
+    le32 = lambda v: np.frombuffer(struct.pack("<i", v), np.uint8)  # noqa: E731
     with open(path, "wb") as f:
-        mv = memoryview(raw)
-        for off in range(0, len(raw), 60000):
-            chunk = bytes(mv[off:off + 60000])
-            comp = zlib.compress(chunk, 1)
-            # strip zlib wrapper -> raw deflate
-            comp = comp[2:-4]
-            bsize = len(comp) + 25  # BSIZE = 18B header + data + 8B footer - 1
-            f.write(b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00"
-                    b"BC\x02\x00" + struct.pack("<H", bsize))
-            f.write(comp)
-            f.write(struct.pack("<I", zlib.crc32(chunk)))
-            f.write(struct.pack("<I", len(chunk)))
+        _write_bgzf(f, bytes(header))
+        for s0 in range(0, total, slice_reads):
+            s1 = min(s0 + slice_reads, total)
+            n = s1 - s0
+            row = np.zeros((n, rec_size), np.uint8)
+            # constant fields
+            row[:, 0:4] = le32(payload_len)
+            # l_read_name=10, mapq=50, bin=0, n_cigar=1, flag
+            row[:, 12] = 10
+            row[:, 13] = READ_LEN
+            row[:, 16:18] = np.frombuffer(struct.pack("<H", 1), np.uint8)
+            row[:, 18:20] = np.frombuffer(struct.pack("<H", FLAG), np.uint8)
+            row[:, 20:24] = le32(READ_LEN)
+            row[:, 24:28] = le32(-1)          # next_ref_id
+            row[:, 28:32] = le32(-1)          # next_pos
+            row[:, 32:36] = le32(0)           # tlen
+            # name 'r' + 8 digits + NUL at [36:46]
+            row[:, 36] = ord("r")
+            ids = np.arange(s0, s1, dtype=np.int64)
+            for d in range(8):
+                row[:, 37 + d] = (ids // 10 ** (7 - d)) % 10 + ord("0")
+            # cigar 50M at [46:50]
+            row[:, 46:50] = np.frombuffer(
+                struct.pack("<I", (READ_LEN << 4) | 0), np.uint8)
+            # seq: 25 bytes of 'AA' packed (code 1 = A) at [50:75]; alt
+            # reads are all-'C' (code 2 -> 0x22)
+            row[:, 50:75] = 0x11
+            if alt_all is not None:
+                row[alt_all[s0:s1], 50:75] = 0x22
+            # qual: 30 at [75:125]
+            row[:, 75:125] = 30
+            row[:, 4:8] = ref_ids[s0:s1, None].view(np.uint8).reshape(n, 4)
+            row[:, 8:12] = poss[s0:s1, None].view(np.uint8).reshape(n, 4)
+            _write_bgzf(f, row.tobytes())
         f.write(bytes.fromhex(
             "1f8b08040000000000ff0600424302001b0003000000000000000000"))
     return total
