@@ -26,6 +26,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # start paying the tunneled session's open toll while tables build;
+    # the first dispatch below may otherwise block for minutes
+    from canvas_tpu.config import warm_device_session
+    warm_device_session()
+
     from canvas_tpu.ops import hmm
     from canvas_tpu.ops.viterbi_pallas import viterbi_decode_pallas
 
