@@ -109,11 +109,22 @@ def main():
     profile = json.loads((out_dir / "s1_profile.json").read_text())
     for st in profile.get("stages", []):
         print(f"  {st['name']:<28s} {st['seconds']:8.2f}s", file=sys.stderr)
+
+    # score the calls against the planted plan with EvaluateCNV
+    from canvas_tpu.tools import evaluate_cnv
+    truth = out_dir / "truth.bed"
+    with open(truth, "w") as f:
+        for name, events in plan.items():
+            for s, e, cn_mult in events:
+                f.write(f"{name}\t{s}\t{e}\t{int(round(cn_mult))}\n")
+    m = evaluate_cnv.evaluate(truth, vcf, passing_only=False)
+
     print(json.dumps({
         "metric": "germline WGS e2e wall-clock",
         "mbp": args.mbp, "value": round(wall, 2), "unit": "s",
         "vcf": str(vcf),
         "mbp_per_s": round(args.mbp / wall, 2),
+        "recall": round(m.recall, 2), "precision": round(m.precision, 2),
     }))
 
 
