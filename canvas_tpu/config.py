@@ -225,6 +225,62 @@ def _install_teardown_guard() -> None:
     sys.excepthook = hook
 
 
+def race_fetch(fetch_fn, fallback_fn):
+    """Race a device fetch against its exact host oracle; first one wins.
+
+    Used for the big genome-length stages where predicting whether the
+    (possibly stalled) device session or the host is faster is unreliable:
+    both run concurrently on daemon threads — the host work releases the
+    GIL in its numpy cores — and whichever produces a result first is
+    returned.  The loser keeps running harmlessly (its result is dropped);
+    a loser blocked inside a device RPC is registered so interpreter
+    teardown skips the aborting C++ cleanup.  Results must be equivalent —
+    all our fallbacks are the exact oracles the kernels are tested against.
+    On CPU backends the fetch is local and runs inline.
+    """
+    import threading
+
+    try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return fetch_fn()
+    except Exception:  # pragma: no cover
+        return fetch_fn()
+
+    slots: dict = {}
+    done = threading.Event()
+
+    def run(name, fn):
+        try:
+            r = fn()
+            slots.setdefault("winner", (name, r))   # GIL-atomic
+        except Exception as e:  # pragma: no cover - surfaced below
+            slots[name + "_error"] = e
+        finally:
+            done.set()
+
+    t_fetch = threading.Thread(target=run, args=("fetch", fetch_fn),
+                               daemon=True, name="canvas-tpu-fetch")
+    t_fall = threading.Thread(target=run, args=("fallback", fallback_fn),
+                              daemon=True, name="canvas-tpu-fallback")
+    t_fetch.start()
+    t_fall.start()
+    while True:
+        if "winner" in slots:
+            name, result = slots["winner"]
+            if name == "fallback" and t_fetch.is_alive():
+                import sys
+                print("[canvas_tpu] host oracle beat the device fetch "
+                      "(stalled session?); using host results",
+                      file=sys.stderr)
+                _ABANDONED_FETCHES.append(t_fetch)
+                _install_teardown_guard()
+            return result
+        if "fetch_error" in slots and "fallback_error" in slots:
+            raise slots["fetch_error"]
+        done.wait(timeout=0.1)
+
+
 def hedged_fetch(fetch_fn, fallback_fn, grace: float | None = None,
                  ready=None):
     """Device→host fetch with an exact host-oracle hedge.
@@ -241,7 +297,8 @@ def hedged_fetch(fetch_fn, fallback_fn, grace: float | None = None,
     fetch and fallback must be equivalent — all our fallbacks are the exact
     oracles the kernels are unit-tested against.  On CPU backends the fetch
     is local and runs inline.  Grace defaults to $CANVAS_TPU_FETCH_GRACE_S
-    (10 s); non-positive grace disables the hedge.
+    (10 s); non-positive grace disables the hedge.  For stages where both
+    sides cost tens of seconds, prefer race_fetch.
     """
     import threading
     import time

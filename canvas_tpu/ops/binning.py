@@ -203,12 +203,12 @@ def bin_contig_device(
 @partial(jax.jit, static_argnames=("bin_size", "max_bins", "cap",
                                    "interpret"))
 def bin_contig_device_fused(
-    p_packed: jnp.ndarray,   # uint8 [Lp/8] bit-packed possible flags
-    obs_packed: jnp.ndarray, # uint8 [Lp/2] nibble-packed observed counts,
+    p_packed: jnp.ndarray,   # uint8 [Lp/1024, 128] bit-packed possible
+    obs_packed: jnp.ndarray, # uint8 [Lp/256, 128] nibble-packed counts,
                              #   clamped to 15 (exact: fused caps are <= 10)
-    gc_packed: jnp.ndarray,  # uint8 [Lp/8] bit-packed G/C base flags
-    offset: jnp.ndarray,     # int32 scalar — leading-n skip (for starts[0])
-    real_len: jnp.ndarray,   # int32 scalar — contig length before padding
+    gc_packed: jnp.ndarray,  # uint8 [Lp/1024, 128] bit-packed G/C flags
+    offset: jnp.ndarray,     # int32 [1] — leading-n skip (for starts[0])
+    real_len: jnp.ndarray,   # int32 [1] — contig length before padding
     bin_size: int,
     max_bins: int,
     cap: int = TRUNCATED_CAP,
@@ -216,32 +216,27 @@ def bin_contig_device_fused(
 ) -> jnp.ndarray:
     """Fused-kernel device binning: one Pallas pass computes all three
     prefix arrays (see ops/prefix_pallas.py), then boundaries/diffs as in
-    bin_contig_device.  Exact for integer coverage modes (TDR cap=10,
-    Binary cap=1, raw uint8 cap=255): per-bin sums are int32 prefix diffs.
+    bin_contig_device.  Exact for the integer coverage modes (TDR cap=10,
+    Binary cap=1): per-bin sums are int32 prefix diffs.
 
-    All elementwise prep happens on device (bool casts, zeroing before
-    `offset` and past `real_len`), and `real_len` is a *dynamic* scalar so
-    inputs can be zero-padded to bucketed lengths — with `max_bins` also
-    bucketed, compile keys stop depending on exact contig geometry.
+    Tracks stay PACKED from the host all the way into the kernel (bits /
+    nibbles, see prefix_pallas pack_* layouts): 8x/2x fewer bytes over the
+    host->device wire AND no genome-length unpack temps in HBM — the
+    unpacked-u8 + iota + mask prep used to peak ~17GB for a chr1-sized
+    contig, past the 16GB HBM.  `real_len`/`offset` are dynamic [1] arrays
+    (the live mask is recomputed per block in SMEM-scalar form), so inputs
+    zero-padded to bucketed lengths share compile keys.
 
     Returns one packed int32 [5, max_bins] array — rows (start, end,
-    gc_pct, count, valid) — so the host needs a single D2H fetch (small
+    gc_count, count, valid) — so the host needs a single D2H fetch (small
     transfers over a tunneled TPU pay ~0.2 s latency each)."""
-    from canvas_tpu.ops.prefix_pallas import fused_prefix_sums
+    from canvas_tpu.ops.prefix_pallas import fused_prefix_sums_packed
 
-    L = obs_packed.shape[0] * 2
-    # nibble unpack (big-end first, matching the host packer): observed
-    # counts cross the tunnel at 4 bits/position — the wire is the
-    # bottleneck for genome-length arrays, not HBM or flops
-    hi = obs_packed >> 4
-    lo = obs_packed & jnp.uint8(0xF)
-    obs_u8 = jnp.stack([hi, lo], axis=-1).reshape(L)
-    idx = jnp.arange(L, dtype=jnp.int32)
-    live = (idx >= offset) & (idx < real_len)
-    p_u8 = jnp.where(live, _unpack_bits(p_packed, L), jnp.uint8(0))
-    pcum, ocum, gccum = fused_prefix_sums(p_u8, obs_u8,
-                                          _unpack_bits(gc_packed, L),
-                                          cap=cap, interpret=interpret)
+    pcum, ocum, gccum = fused_prefix_sums_packed(
+        p_packed, obs_packed, gc_packed, offset, real_len,
+        cap=cap, interpret=interpret)
+    offset = offset[0]
+    real_len = real_len[0]
     total = pcum[real_len - 1]
     n_bins = total // bin_size
 
@@ -298,9 +293,11 @@ _DEVICE_TRACKS: dict[int, tuple] = {}
 def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int):
     """(packed_possible_dev, packed_is_gc_dev, total_possible) with caching.
 
-    Tracks cross the wire bit-packed (np.packbits, MSB-first) — 8x fewer
-    bytes over a tunneled TPU — and are unpacked on device inside the
-    binning jit."""
+    Tracks cross the wire bit-packed in the kernel's row-tile layout
+    (prefix_pallas.pack_tracks_rows) — 8x fewer bytes over a tunneled TPU —
+    and are unpacked per block inside the Pallas kernel."""
+    from canvas_tpu.ops.prefix_pallas import pack_tracks_rows
+
     key = id(possible)
     hit = _DEVICE_TRACKS.get(key)
     if hit is not None and hit[0] is possible and hit[1] == pad:
@@ -311,19 +308,12 @@ def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int):
         p = np.pad(p, (0, pad))
         g = np.pad(g, (0, pad))
     total = int(np.count_nonzero(p))
-    dp, dg = jnp.asarray(np.packbits(p)), jnp.asarray(np.packbits(g))
+    dp = jnp.asarray(pack_tracks_rows(p))
+    dg = jnp.asarray(pack_tracks_rows(g))
     if len(_DEVICE_TRACKS) >= 64:  # bound host+HBM held by the cache
         _DEVICE_TRACKS.pop(next(iter(_DEVICE_TRACKS)))
     _DEVICE_TRACKS[key] = (possible, pad, dp, dg, total)
     return dp, dg, total
-
-
-def _unpack_bits(packed: jnp.ndarray, n: int) -> jnp.ndarray:
-    """np.packbits inverse on device (MSB-first): uint8 [n/8] -> uint8 [n]
-    of 0/1 values.  n must be a multiple of 8 (bucketed lengths are)."""
-    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-    bits = (packed[:, None] >> shifts[None, :]) & jnp.uint8(1)
-    return bits.reshape(n)
 
 
 def bin_sample(
@@ -347,27 +337,6 @@ def bin_sample(
     out = {}
     on_cpu = jax.default_backend() == "cpu"
     use_fused = (not on_cpu) if force_fused is None else force_fused
-    if use_fused and force_fused is None and mode in _FUSED_CAPS:
-        # adaptive path choice: when the measured host->device bandwidth
-        # says the observed tracks can't cross the wire within the hedge
-        # grace period (tunneled TPU), skip the device round-trip and run
-        # the exact numpy oracle directly — same outputs either way
-        from canvas_tpu.config import (hedge_grace, predicted_h2d_seconds,
-                                       session_ready)
-
-        wire_bytes = sum((len(t["possible"]) + 1) // 2
-                         for t in tracks.values())
-        eta = predicted_h2d_seconds(wire_bytes)
-        if not session_ready():
-            import sys
-            print("[canvas_tpu] device session not open yet; binning on "
-                  "the host oracle", file=sys.stderr)
-            use_fused = False
-        elif eta is not None and eta > hedge_grace():
-            import sys
-            print(f"[canvas_tpu] predicted H2D {eta:.0f}s exceeds hedge "
-                  f"grace; binning on the host oracle", file=sys.stderr)
-            use_fused = False
     interpret = on_cpu
     pending: dict[str, jnp.ndarray] = {}
     host_batch: list[str] = []
@@ -381,12 +350,14 @@ def bin_sample(
             # for all contigs are dispatched before any result is fetched —
             # jax dispatch is async, so H2D/compute/D2H pipeline across
             # contigs instead of serializing.
+            from canvas_tpu.ops.prefix_pallas import BLOCK, pack_obs_rows
+
             off = int(t["offset"])
             L = len(t["possible"])
-            # big contigs: fixed-size buckets; small ones: next power of
-            # two (min 8: packed tracks need multiple-of-8 lengths)
+            # big contigs: fixed-size buckets; small ones: one kernel
+            # block minimum (packed row-tiles need BLOCK-multiple lengths)
             pad = ((-L) % LENGTH_BUCKET if L >= LENGTH_BUCKET
-                   else max(_next_pow2(L), 8) - L)
+                   else max(_next_pow2(L), BLOCK) - L)
             p_dev, gc_dev, total = _device_ref_tracks(
                 t["possible"], t["is_gc"], pad)
             obs_u8 = np.asarray(t["observed"], dtype=np.uint8)
@@ -394,15 +365,20 @@ def bin_sample(
                 obs_u8 = np.pad(obs_u8, (0, pad))
             # nibble-pack (clamp 15 is exact under the fused caps <= 10):
             # halves the bytes on the host->device wire
-            obs_c = np.minimum(obs_u8, 15)
-            obs_packed = (obs_c[0::2] << 4) | obs_c[1::2]
             max_bins = _next_pow2(max(total // bin_size, 1))
-            pending[name] = bin_contig_device_fused(
-                p_dev, jnp.asarray(obs_packed), gc_dev,
-                jnp.asarray(off, dtype=jnp.int32),
-                jnp.asarray(L, dtype=jnp.int32),
-                bin_size, max_bins, cap=_FUSED_CAPS[mode],
-                interpret=interpret)
+            try:
+                pending[name] = bin_contig_device_fused(
+                    p_dev, jnp.asarray(pack_obs_rows(obs_u8)), gc_dev,
+                    jnp.asarray(np.array([off], np.int32)),
+                    jnp.asarray(np.array([L], np.int32)),
+                    bin_size, max_bins, cap=_FUSED_CAPS[mode],
+                    interpret=interpret)
+            except Exception as e:  # compile/HBM failure -> host oracle
+                import sys
+                print(f"[canvas_tpu] device binning dispatch failed for "
+                      f"{name} ({type(e).__name__}); host oracle",
+                      file=sys.stderr)
+                host_batch.append(name)
         elif use_device and mode in _FUSED_CAPS:
             # CPU backend, or device path declined above: the exact numpy
             # path (int-valued cumsums) is byte-identical to the TPU fused
@@ -490,9 +466,11 @@ def bin_sample(
                     return dict(zip(names, ex.map(one, names)))
             return {names[0]: one(names[0])}
 
-        from canvas_tpu.config import hedged_fetch
-        out.update(hedged_fetch(fetch, fallback,
-                                ready=list(pending.values())))
+        from canvas_tpu.config import race_fetch
+        # race the device fetch against the exact host oracle: on an open
+        # session the device wins in seconds; on a stalled one the host
+        # wins at its natural pace — no bandwidth heuristics needed
+        out.update(race_fetch(fetch, fallback))
     return out
 
 

@@ -654,8 +654,8 @@ def segment_coverage_batched(
                       np.log(np.full(n_states, 1.0 / n_states, np.float32)),
                       mask)
 
-    from canvas_tpu.config import hedged_fetch
-    paths = hedged_fetch(fetch, fallback, ready=[paths_dev])
+    from canvas_tpu.config import race_fetch
+    paths = race_fetch(fetch, fallback)
     for b, n in enumerate(live):
         out[n] = breakpoints_from_path(paths[b, :lengths[n]])
     return out

@@ -267,3 +267,60 @@ def test_bin_sample_host_batch_threaded(rng):
     for name in tracks:
         for a, b in zip(got[name], want[name]):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_race_fetch_fast_device_wins(monkeypatch):
+    import jax
+    from canvas_tpu import config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def slow_host():
+        import time as _t
+        _t.sleep(2.0)
+        return "host"
+
+    assert config.race_fetch(lambda: "device", slow_host) == "device"
+
+
+def test_race_fetch_host_wins_on_stall(monkeypatch):
+    import time as _t
+
+    import jax
+    from canvas_tpu import config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def stalled_fetch():
+        _t.sleep(30.0)
+        return "device"
+
+    t0 = _t.time()
+    assert config.race_fetch(stalled_fetch, lambda: "host") == "host"
+    assert _t.time() - t0 < 5.0
+
+
+def test_race_fetch_inline_on_cpu():
+    from canvas_tpu import config
+
+    assert config.race_fetch(lambda: 7, lambda: 0) == 7
+
+
+def test_race_fetch_survives_one_error(monkeypatch):
+    import jax
+    from canvas_tpu import config
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def bad_fetch():
+        raise RuntimeError("device exploded")
+
+    assert config.race_fetch(bad_fetch, lambda: "host") == "host"
+
+    def bad_host():
+        raise RuntimeError("host exploded")
+
+    assert config.race_fetch(lambda: "device", bad_host) == "device"
+
+    with pytest.raises(RuntimeError):
+        config.race_fetch(bad_fetch, bad_host)
