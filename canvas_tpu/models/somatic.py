@@ -61,7 +61,11 @@ DEVIATION_SCORE_WEIGHT = 0.375
 DIPLOID_DISTANCE_WEIGHT = 0.125
 HETEROGENEITY_WEIGHT = 0.202
 DISTANCE_RATIO = 0.3
-MINIMUM_CALL_SIZE = 10   # SomaticCallerParameters.cs:6
+# SomaticCallerParameters.cs:6 defaults to 10, but the shipped JSON
+# (SomaticCallerParameters.json: "MinimumCallSize": "50000") is deserialized
+# over the code default at startup (CanvasSomaticCaller/Program.cs:157-163),
+# so the effective reference value is 50000.
+MINIMUM_CALL_SIZE = 50000
 MAX_RELATED_MODELS = 5
 
 

@@ -196,18 +196,25 @@ def normalize_by_gc_median(bins: BinSet,
     return bins.with_count(new_counts.astype(np.float32))
 
 
-def remove_bins_with_extreme_gc(
+def extreme_gc_keep_mask(
     bins: BinSet, threshold: int = MIN_BINS_PER_GC,
-    min_for_weighted: int = MIN_BINS_PER_GC) -> BinSet:
-    """Drop bins whose GC value has too few autosomal bins
+    min_for_weighted: int = MIN_BINS_PER_GC) -> np.ndarray:
+    """Keep-mask for bins whose GC value has enough autosomal bins
     (CanvasClean.cs:207-237)."""
     gcs, counts = _autosome_counts_by_gc(bins)
     gc_counts = np.bincount(gcs, minlength=N_GC_BINS)
     total = gc_counts.sum()
     avg_per_gc = max(min_for_weighted, int(total / N_GC_BINS))
     threshold = min(threshold, avg_per_gc)
-    keep = gc_counts[np.asarray(bins.gc, dtype=np.int64)] >= threshold
-    return bins.select(keep)
+    return gc_counts[np.asarray(bins.gc, dtype=np.int64)] >= threshold
+
+
+def remove_bins_with_extreme_gc(
+    bins: BinSet, threshold: int = MIN_BINS_PER_GC,
+    min_for_weighted: int = MIN_BINS_PER_GC) -> BinSet:
+    """Drop bins whose GC value has too few autosomal bins
+    (CanvasClean.cs:207-237)."""
+    return bins.select(extreme_gc_keep_mask(bins, threshold, min_for_weighted))
 
 
 def normalize_variance_by_gc(bins: BinSet) -> tuple[BinSet, bool]:
@@ -388,10 +395,19 @@ def clean(
     if compute_local_sd and len(bins) >= 50000:
         local_sd, dev = local_standard_deviation(bins)
     if do_gc_norm:
-        stripped = (remove_bins_with_extreme_gc(bins)
-                    if mode == "MedianByGC" else bins)
+        if mode == "MedianByGC":
+            keep = extreme_gc_keep_mask(bins)
+            stripped = bins.select(keep)
+        else:
+            keep = np.ones(len(bins), dtype=bool)
+            stripped = bins
         if len(stripped) > 0:
             bins = stripped
+            if dev is not None:
+                # the reference stores CountDeviation on each bin object
+                # (CanvasClean.cs:289-292), so it survives the extreme-GC
+                # strip; carry it through the mask here.
+                dev = dev[keep]
             if mode == "MedianByGC":
                 bins = normalize_by_gc_median(bins, min_bins=min_bins_per_gc)
             else:
@@ -404,8 +420,5 @@ def clean(
                             if mode == "MedianByGC"
                             else normalize_by_gc_loess(bins))
     if local_sd is not None and dev is not None:
-        # deviations were computed pre-GC-norm on the then-current bins; the
-        # reference stores them on bin objects which survive normalization.
-        if len(dev) == len(bins):
-            bins = remove_extreme_local_sd(bins, dev, local_sd)
+        bins = remove_extreme_local_sd(bins, dev, local_sd)
     return bins, local_sd

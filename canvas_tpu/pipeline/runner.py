@@ -411,6 +411,10 @@ def run_partition(
                          if ploidy else None)
         numbered = segops.post_process_segments(
             span_starts, {}, bin_start, bin_end,
+            # forbidden-interval midpoints force segment breaks
+            # (SegmentationResultsProcessor.cs:95-110); the filter bed is the
+            # ForbiddenIntervalBedPath the orchestrator feeds CanvasPartition
+            excluded_by_contig=ctx.excluded_intervals,
             max_inter_bin_dist=cfg.max_inter_bin_dist_in_segment,
             ploidy_breaks_by_contig=ploidy_breaks)
         by_contig: dict[str, list] = {}
@@ -425,12 +429,26 @@ def run_partition(
 
 
 def attach_alleles(ctx: WorkflowContext, sample: Sample,
-                   segments_by_contig: dict[str, list], vf_path) -> None:
+                   segments_by_contig: dict[str, list],
+                   vf_path) -> float | None:
+    """Attach b-allele counts to segments.
+
+    Returns the mean per-site total allele coverage over all loaded sites
+    (countRef+countAlt averaged), which the reference uses as MeanCoverage
+    for the balanced-MAF model (CanvasDiploidCaller.cs:298), or None when
+    no VF file / no sites."""
     if vf_path is None:
-        return
+        return None
     intervals = segments_io.segment_intervals(segments_by_contig)
     freqs = snvio.read_frequencies(vf_path, intervals)
     segments_io.add_alleles(segments_by_contig, freqs)
+    total, n = 0, 0
+    for lists in freqs.values():
+        for sites in lists:
+            for _, count_ref, count_alt in sites:
+                total += count_ref + count_alt
+                n += 1
+    return (total / n) if n else None
 
 
 def _flatten(segments_by_contig: dict[str, list], contigs: ContigTable):
@@ -459,11 +477,12 @@ def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
                               ctx.config.partition_method or "Wavelets",
                               is_germline=True, ploidy=ploidy)
     segs_by_contig = parts[sample.name]
-    attach_alleles(ctx, sample, segs_by_contig, vf)
+    mean_allele_cov = attach_alleles(ctx, sample, segs_by_contig, vf)
     segs = _flatten(segs_by_contig, ctx.contigs)
     with prof.stage("CanvasDiploidCaller", segments=len(segs)):
         called, dip_cov = diploid_caller.call_variants(
-            segs, ctx.config.quality_filter_threshold, ctx.config.qscore)
+            segs, ctx.config.quality_filter_threshold, ctx.config.qscore,
+            mean_allele_coverage=mean_allele_cov)
     out = Path(ctx.output_dir) / f"{sample.name}_CNV.vcf.gz"
     vcf_write.write_segments(
         out, [called], [sample.name], ctx.contigs, diploid_coverage=dip_cov,
