@@ -59,11 +59,7 @@ def _header_lines(
     qfilter = f"q{quality_threshold}"
     lines.append('##ALT=<ID=DUP,Description="Region of elevated copy number '
                  'relative to the reference">')
-    for cn in range(max_copy_num + 1):
-        if cn == 1:
-            continue
-        lines.append(f'##ALT=<ID=CN{cn},Description="Copy number allele: '
-                     f'{cn} copies">')
+    lines += alt_cn_header_lines(max_copy_num)
     lines.append(f'##FILTER=<ID={qfilter},Description="Quality below '
                  f'{quality_threshold}">')
     if size_threshold is not None:
@@ -99,6 +95,15 @@ def _header_lines(
         ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
          "FORMAT"] + sample_names))
     return lines
+
+
+def alt_cn_header_lines(max_copy_num: int) -> list[str]:
+    """WriteHeaderAllAltCnTags (CanvasSegmentWriter.cs:98-107): one ALT line
+    per copy-number allele 0..max, skipping CN1."""
+    return [
+        f'##ALT=<ID=CN{cn},Description="Copy number allele: {cn} copies">'
+        for cn in range(max_copy_num + 1) if cn != 1
+    ]
 
 
 def _assign_record_cnv_type(types: list[str]) -> str:

@@ -273,24 +273,18 @@ def _loess_window_bounds(x_sorted: np.ndarray, n_window: int) -> np.ndarray:
     return np.asarray(bounds)
 
 
-def loess_fit_predict(
-    x: np.ndarray, y: np.ndarray, x_pred: np.ndarray, bandwidth: float
-) -> np.ndarray:
-    """Degree-1 LOESS with tricube weights; reference window semantics.
-
-    Vectorised per prediction point over its window (windows are large —
-    bandwidth*n points — but x_pred is ~101 integer GC values)."""
-    order = np.argsort(x, kind="stable")
-    xs, ys = x[order], y[order]
+def _loess_predict_walk(
+    xs: np.ndarray, ys: np.ndarray, rw: np.ndarray | None,
+    queries_sorted_order: np.ndarray, queries: np.ndarray,
+    n_window: int) -> np.ndarray:
+    """Evaluate the weighted local linear fit at each query, walking the
+    sliding bandwidth window in ascending-x order (LoessInterpolator.cs
+    updateBandwidthInterval :271-301 + computeCoefficients :198-259)."""
     n = len(xs)
-    n_window = int(np.ceil(bandwidth * n))
-    n_window = max(n_window, 2)
-    # prediction windows use the same sliding rule, walked in sorted order
-    p_order = np.argsort(x_pred, kind="stable")
-    out = np.empty(len(x_pred))
+    out = np.empty(len(queries))
     left, right = 0, n_window - 1
-    for pi in p_order:
-        xq = x_pred[pi]
+    for pi in queries_sorted_order:
+        xq = queries[pi]
         while right < n - 1 and xq > xs[right]:
             left += 1
             right += 1
@@ -303,6 +297,8 @@ def loess_fit_predict(
         denom = abs(1.0 / (edge - xq)) if edge != xq else np.inf
         dist = np.abs(xq - xw) * denom
         w = np.clip(1 - dist ** 3, 0, None) ** 3
+        if rw is not None:
+            w = w * rw[left:right + 1]
         sw = w.sum()
         mean_x = (xw * w).sum() / sw
         mean_y = (yw * w).sum() / sw
@@ -313,6 +309,39 @@ def loess_fit_predict(
         alpha = mean_y - beta * mean_x
         out[pi] = alpha + beta * xq
     return out
+
+
+def loess_fit_predict(
+    x: np.ndarray, y: np.ndarray, x_pred: np.ndarray, bandwidth: float,
+    robustness_iters: int = 0,
+) -> np.ndarray:
+    """Degree-1 LOESS with tricube weights; reference window semantics.
+
+    robustness_iters > 0 runs the Apache-style bisquare reweighting loop
+    (LoessInterpolator.cs:131-172): refit with robustness weights
+    (1-(res/(6*medianRes))^2)^2, zero beyond 6x the median residual.
+
+    Vectorised per prediction point over its window (windows are large —
+    bandwidth*n points — but x_pred is ~101 integer GC values)."""
+    order = np.argsort(x, kind="stable")
+    xs, ys = x[order], y[order]
+    n = len(xs)
+    n_window = int(np.ceil(bandwidth * n))
+    n_window = max(n_window, 2)
+    rw = None
+    if robustness_iters > 0:
+        rw = np.ones(n)
+        data_order = np.arange(n)
+        for _ in range(robustness_iters):
+            fitted = _loess_predict_walk(xs, ys, rw, data_order, xs, n_window)
+            residuals = np.abs(ys - fitted)
+            median_res = stats.median(residuals)
+            if median_res == 0:
+                break
+            arg = residuals / (6.0 * median_res)
+            rw = np.where(arg >= 1, 0.0, (1 - arg * arg) ** 2)
+    p_order = np.argsort(x_pred, kind="stable")
+    return _loess_predict_walk(xs, ys, rw, p_order, x_pred, n_window)
 
 
 def golden_section_search(f, a: float, b: float, tol: float = 1e-5) -> float:
