@@ -290,15 +290,17 @@ def _next_pow2(n: int) -> int:
 _DEVICE_TRACKS: dict[int, tuple] = {}
 
 
-def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int):
+def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int,
+                       device=None):
     """(packed_possible_dev, packed_is_gc_dev, total_possible) with caching.
 
     Tracks cross the wire bit-packed in the kernel's row-tile layout
     (prefix_pallas.pack_tracks_rows) — 8x fewer bytes over a tunneled TPU —
-    and are unpacked per block inside the Pallas kernel."""
+    and are unpacked per block inside the Pallas kernel.  `device` commits
+    the tracks to a specific chip for round-robin contig placement."""
     from canvas_tpu.ops.prefix_pallas import pack_tracks_rows
 
-    key = id(possible)
+    key = (id(possible), None if device is None else device.id)
     hit = _DEVICE_TRACKS.get(key)
     if hit is not None and hit[0] is possible and hit[1] == pad:
         return hit[2], hit[3], hit[4]
@@ -308,8 +310,8 @@ def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int):
         p = np.pad(p, (0, pad))
         g = np.pad(g, (0, pad))
     total = int(np.count_nonzero(p))
-    dp = jnp.asarray(pack_tracks_rows(p))
-    dg = jnp.asarray(pack_tracks_rows(g))
+    dp = jax.device_put(pack_tracks_rows(p), device)
+    dg = jax.device_put(pack_tracks_rows(g), device)
     if len(_DEVICE_TRACKS) >= 64:  # bound host+HBM held by the cache
         _DEVICE_TRACKS.pop(next(iter(_DEVICE_TRACKS)))
     _DEVICE_TRACKS[key] = (possible, pad, dp, dg, total)
@@ -338,6 +340,19 @@ def bin_sample(
     on_cpu = jax.default_backend() == "cpu"
     use_fused = (not on_cpu) if force_fused is None else force_fused
     interpret = on_cpu
+    # round-robin contigs over the local devices (the reference's
+    # process-per-chromosome fan-out, CanvasRunner.cs:333-389): each
+    # contig's kernel is committed to one chip; dispatch is async so the
+    # chips bin concurrently.  Longest contigs first so the long poles
+    # start immediately (CanvasRunner.cs:343 OrderByDescending).
+    from canvas_tpu.parallel.mesh import sharding_enabled
+
+    devices = jax.local_devices()
+    contig_device = {}
+    if len(devices) > 1 and sharding_enabled():
+        order = sorted(tracks, key=lambda c: -len(tracks[c]["possible"]))
+        contig_device = {c: devices[i % len(devices)]
+                         for i, c in enumerate(order)}
     pending: dict[str, jnp.ndarray] = {}
     host_batch: list[str] = []
     for name, t in tracks.items():
@@ -358,8 +373,9 @@ def bin_sample(
             # block minimum (packed row-tiles need BLOCK-multiple lengths)
             pad = ((-L) % LENGTH_BUCKET if L >= LENGTH_BUCKET
                    else max(_next_pow2(L), BLOCK) - L)
+            dev = contig_device.get(name)
             p_dev, gc_dev, total = _device_ref_tracks(
-                t["possible"], t["is_gc"], pad)
+                t["possible"], t["is_gc"], pad, device=dev)
             obs_u8 = np.asarray(t["observed"], dtype=np.uint8)
             if pad:
                 obs_u8 = np.pad(obs_u8, (0, pad))
@@ -368,9 +384,9 @@ def bin_sample(
             max_bins = _next_pow2(max(total // bin_size, 1))
             try:
                 pending[name] = bin_contig_device_fused(
-                    p_dev, jnp.asarray(pack_obs_rows(obs_u8)), gc_dev,
-                    jnp.asarray(np.array([off], np.int32)),
-                    jnp.asarray(np.array([L], np.int32)),
+                    p_dev, jax.device_put(pack_obs_rows(obs_u8), dev), gc_dev,
+                    jax.device_put(np.array([off], np.int32), dev),
+                    jax.device_put(np.array([L], np.int32), dev),
                     bin_size, max_bins, cap=_FUSED_CAPS[mode],
                     interpret=interpret)
             except Exception as e:  # compile/HBM failure -> host oracle

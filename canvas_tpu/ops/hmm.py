@@ -547,10 +547,8 @@ def breakpoints_from_path(path: np.ndarray) -> list[int]:
     return bps
 
 
-@partial(jax.jit, static_argnames=("lt", "li", "chunk", "interpret",
-                                   "use_pallas"))
-def _emission_decode_batched(cov, mask, logt, lt, li, chunk, interpret,
-                             use_pallas):
+def _emission_decode_core(cov, mask, logt, lt, li, chunk, interpret,
+                          use_pallas):
     """Emission lookup + Viterbi decode as ONE executable.
 
     On a tunneled TPU every separate dispatch (even a cached
@@ -569,6 +567,41 @@ def _emission_decode_batched(cov, mask, logt, lt, li, chunk, interpret,
     log_init = jnp.asarray(np.asarray(li), jnp.float32)
     return viterbi_decode_chunked(log_em, log_trans, log_init, mask,
                                   chunk=chunk)
+
+
+_emission_decode_batched = partial(
+    jax.jit, static_argnames=("lt", "li", "chunk", "interpret",
+                              "use_pallas"))(_emission_decode_core)
+
+
+def _emission_decode_sharded(cov, mask, logt, lt, li, chunk, interpret,
+                             use_pallas, mesh):
+    """Lane-sharded decode: contigs split over the mesh's 'contig' axis
+    (the TPU answer to the reference's process-per-chromosome fan-out,
+    CanvasRunner.cs:333-389).  Each device decodes B/n lanes; the emission
+    tables are replicated.  Lanes are independent so no collectives are
+    needed inside; shard_map keeps the Pallas kernel per-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # lanes are independent (no collectives inside); scan carries start
+    # from replicated constants, so the varying-axis (replication) check
+    # must be off.  jax >= 0.7 names it check_vma, older check_rep.
+    core = partial(_emission_decode_core, lt=lt, li=li, chunk=chunk,
+                   interpret=interpret, use_pallas=use_pallas)
+    specs = dict(mesh=mesh, in_specs=(P("contig"), P("contig"), P()),
+                 out_specs=P("contig"))
+    try:
+        fn = jax.shard_map(core, check_vma=False, **specs)
+    except TypeError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+        fn = shard_map(core, check_rep=False, **specs)
+    lane = NamedSharding(mesh, P("contig"))
+    repl = NamedSharding(mesh, P())
+    cov = jax.device_put(cov, lane)
+    mask = jax.device_put(mask, lane)
+    logt = jax.device_put(logt, repl)
+    return jax.jit(fn)(cov, mask, logt)
 
 
 def _next_pow2(n: int) -> int:
@@ -609,8 +642,15 @@ def segment_coverage_batched(
 
     # Pad B and T to powers of two so compile keys do not depend on exact
     # contig geometry (padding lanes have all-False masks -> length 0).
+    # With a multi-device backend, pad lanes up to the device count so the
+    # batch shards evenly over the mesh's contig axis.
+    from canvas_tpu.parallel.mesh import sharding_enabled
+
+    n_dev = jax.device_count() if sharding_enabled() else 1
     T = _next_pow2(max(lengths[n] for n in live))
     B = _next_pow2(len(live))
+    if n_dev > 1:
+        B = max(B, _next_pow2(n_dev))
     cov = np.zeros((B, T, 1), dtype=np.float32)
     mask = np.zeros((B, T), dtype=bool)
     for b, n in enumerate(live):
@@ -638,9 +678,17 @@ def segment_coverage_batched(
         use_pallas = jax.default_backend() != "cpu"
     interpret = jax.default_backend() == "cpu"
 
-    paths_dev = _emission_decode_batched(
-        jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(logt),
-        lt, li, chunk, interpret, use_pallas)
+    if n_dev > 1 and B % n_dev == 0:
+        from canvas_tpu.parallel.mesh import make_mesh
+
+        paths_dev = _emission_decode_sharded(
+            jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(logt),
+            lt, li, chunk, interpret, use_pallas,
+            make_mesh(n_dev, axes=("contig",)))
+    else:
+        paths_dev = _emission_decode_batched(
+            jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(logt),
+            lt, li, chunk, interpret, use_pallas)
 
     def fetch():
         return np.asarray(paths_dev)

@@ -12,9 +12,21 @@ The genome maps onto a TPU slice as (SURVEY.md §2.2):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def sharding_enabled() -> bool:
+    """Multi-device sharding kill switch.
+
+    CANVAS_TPU_FORCE_SINGLE_DEVICE=1 pins all compute to device 0 even when
+    more are visible — used by the multichip dryrun to prove the sharded
+    pipeline is bit-identical to the single-device one, and available as an
+    escape hatch in production."""
+    return os.environ.get("CANVAS_TPU_FORCE_SINGLE_DEVICE", "0") != "1"
 
 
 def make_mesh(n_devices: int | None = None, axes=("contig",)) -> Mesh:

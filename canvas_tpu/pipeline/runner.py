@@ -127,29 +127,33 @@ class WorkflowContext:
 # Stage drivers
 # ---------------------------------------------------------------------------
 
-def ingest_observed(ctx: WorkflowContext, sample: Sample) -> dict[str, np.ndarray]:
+def ingest_observed(ctx: WorkflowContext, sample: Sample,
+                    contigs: list[str] | None = None
+                    ) -> dict[str, np.ndarray]:
     """Per-contig observed read-start counts from the sample BAM.
 
     Uses the native C++ scanner (multithreaded BGZF + single-pass filter)
-    when available; falls back to the pure-Python reader."""
+    when available; falls back to the pure-Python reader.  `contigs`
+    restricts the scan to a subset (multi-host contig sharding)."""
     from canvas_tpu import native
 
+    canonical = contigs if contigs is not None else ctx.canonical
     refs = native.read_bam_refs(sample.bam_path) if native.available() else None
     if refs is not None:
         # ONE streaming pass for all contigs; non-canonical refs get a
         # zero-length slot so their records are skipped without memory
-        wanted = set(ctx.canonical)
+        wanted = set(canonical)
         lengths = [L if name in wanted else 0 for name, L in refs]
         per_ref = native.scan_read_starts_all(sample.bam_path, lengths)
         if per_ref is not None:
             by_name = {name: per_ref[i] for i, (name, _) in enumerate(refs)}
             return {c: by_name.get(c,
                                    np.zeros(ctx.contigs.length(c), np.uint8))
-                    for c in ctx.canonical}
+                    for c in canonical}
         ref_index = {name: i for i, (name, _) in enumerate(refs)}
         ref_len = {name: L for name, L in refs}
         observed = {}
-        for contig in ctx.canonical:
+        for contig in canonical:
             if contig in ref_index:
                 obs = native.scan_read_starts(
                     sample.bam_path, ref_index[contig], ref_len[contig])
@@ -160,7 +164,7 @@ def ingest_observed(ctx: WorkflowContext, sample: Sample) -> dict[str, np.ndarra
         return observed
     bam = bamio.BamFile.read(sample.bam_path)
     observed = {}
-    for contig in ctx.canonical:
+    for contig in canonical:
         obs, _ = bamio.read_start_counts(bam, contig)
         observed[contig] = obs
     return observed
@@ -243,9 +247,25 @@ def run_bin(ctx: WorkflowContext, sample: Sample,
         if mode == "GCContentWeighted" and observed is None:
             obs, fragments = ingest_observed_with_fragments(ctx, sample)
             gc_weights = _gc_weight_tracks(ctx, obs, fragments)
+        elif observed is not None:
+            obs = observed
         else:
-            obs = observed if observed is not None \
-                else ingest_observed(ctx, sample)
+            import jax
+
+            from canvas_tpu.parallel import distributed
+
+            if jax.process_count() > 1:
+                # multi-host: each process scans its size-balanced contig
+                # subset, then the per-contig tracks are all-gathered so
+                # every host holds the full genome (the reference's
+                # per-chromosome intermediate-file merge,
+                # CanvasBin.cs:965-1035)
+                mine = distributed.my_contigs(
+                    {c: ctx.contigs.length(c) for c in ctx.canonical})
+                local = ingest_observed(ctx, sample, contigs=mine)
+                obs = distributed.all_gather_host_data(local)
+            else:
+                obs = ingest_observed(ctx, sample)
         bs = bin_size or ctx.config.fixed_bin_size or \
             binning.bin_size_from_rates(
                 ctx.config.counts_per_bin, autosome_rates(ctx, obs))
