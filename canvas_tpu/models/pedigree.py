@@ -314,6 +314,149 @@ def pedigree_joint_likelihood(
     return result
 
 
+def pedigree_joint_likelihood_batched(
+    parent_liks: np.ndarray,             # [G, 2, max_cn]
+    child_liks: np.ndarray,              # [G, C, max_cn]
+    trans: np.ndarray,                   # [max_cn, max_cn]
+    max_cn: int = MAX_COPY_NUMBER,
+    parents_top_k: int | None = None,
+    use_device: bool | None = None,
+) -> list[JointResult]:
+    """GetPedigreeCopyNumbers over ALL segments at once (SURVEY §7(5)): the
+    (parent1CN x parent2CN x offspring-genotype) contraction runs as one
+    [G, S, S, K] device tensor instead of the reference's per-segment loop
+    (VariantCaller.cs:319-380).  Returns one JointResult per segment with
+    identical best/marginal/config semantics to pedigree_joint_likelihood
+    (validated in tests)."""
+    import jax
+    import jax.numpy as jnp
+
+    G = parent_liks.shape[0]
+    C = child_liks.shape[1]
+    S = max_cn
+    if parents_top_k is None:
+        parents_top_k = 3 if C >= 2 else max_cn
+    child_top_k = 3 if C >= 2 else max_cn
+
+    combos = _offspring_phased_combos(C, max_cn)
+    K = len(combos)
+    A = np.array([[g[0] for g in combo] for combo in combos])   # [K, C]
+    Bv = np.array([[g[1] for g in combo] for combo in combos])  # [K, C]
+    totals = np.minimum(A + Bv, max_cn - 1)                     # [K, C]
+    # key = unique totals row, id in order of first occurrence (matches the
+    # host loop's config-dict insertion order)
+    key_of: dict[tuple, int] = {}
+    key_id = np.empty(K, np.int64)
+    for k in range(K):
+        t = tuple(int(x) for x in totals[k])
+        key_id[k] = key_of.setdefault(t, len(key_of))
+    J = len(key_of)
+    key_totals = np.empty((J, C), np.int64)
+    for t, j in key_of.items():
+        key_totals[j] = t
+
+    def compute(pl, cl):
+        # top-k masks by stable descending sort (host uses stable argsort)
+        def topk_mask(lik, k):
+            order = jnp.argsort(-lik, axis=-1, stable=True)
+            rank = jnp.argsort(order, axis=-1, stable=True)
+            return rank < k
+
+        p1, p2 = pl[:, 0], pl[:, 1]                         # [G, S]
+        p1_mask = topk_mask(p1, parents_top_k)
+        p2_mask = topk_mask(p2, parents_top_k)
+        c_mask = topk_mask(cl, child_top_k)                 # [G, C, S]
+
+        t1 = jnp.prod(jnp.asarray(trans)[:, A], axis=-1)    # [S, K]
+        t2 = jnp.prod(jnp.asarray(trans)[:, Bv], axis=-1)   # [S, K]
+        # child product + validity over the K combos:
+        # gathered[g, k, c] = cl[g, c, totals[k, c]]
+        idx = jnp.asarray(totals)                           # [K, C]
+        c_idx = jnp.arange(C)[None, :]                      # broadcasts to [K, C]
+        gathered = cl[:, c_idx, idx]                        # [G, K, C]
+        child_prod = jnp.prod(gathered, axis=-1)            # [G, K]
+        ok = jnp.all(c_mask[:, c_idx, idx], axis=-1)        # [G, K]
+
+        lik = (p1[:, :, None, None] * p2[:, None, :, None]
+               * t1[None, :, None, :] * t2[None, None, :, :]
+               * child_prod[:, None, None, :])              # [G, S, S, K]
+        valid = (p1_mask[:, :, None, None] & p2_mask[:, None, :, None]
+                 & ok[:, None, None, :])
+        lik = jnp.where(valid, lik, 0.0)
+        # max over combos sharing a key (the host config-dict max); track
+        # validity separately so exactly-zero likelihoods (e.g. parent CN0
+        # transitions) still appear as config entries, as in the host loop
+        kid = jnp.asarray(key_id)
+        keyed = jnp.zeros((G, S, S, J), lik.dtype).at[
+            :, :, :, kid].max(lik)
+        present = jnp.zeros((G, S, S, J), jnp.bool_).at[
+            :, :, :, kid].max(valid)
+        return keyed, present
+
+    def compute_np(pl, cl):
+        """Same math in float64 numpy (bit-faithful to the host scalar
+        loop; used on CPU, where jnp would silently run f32)."""
+        def topk_mask(lik, k):
+            order = np.argsort(-lik, axis=-1, kind="stable")
+            rank = np.argsort(order, axis=-1, kind="stable")
+            return rank < k
+
+        p1, p2 = pl[:, 0], pl[:, 1]
+        p1_mask = topk_mask(p1, parents_top_k)
+        p2_mask = topk_mask(p2, parents_top_k)
+        c_mask = topk_mask(cl, child_top_k)
+        t1 = np.prod(trans[:, A], axis=-1)
+        t2 = np.prod(trans[:, Bv], axis=-1)
+        c_idx = np.broadcast_to(np.arange(C)[None, :], totals.shape)
+        gathered = cl[:, c_idx, totals]
+        child_prod = np.prod(gathered, axis=-1)
+        ok = np.all(c_mask[:, c_idx, totals], axis=-1)
+        lik = (p1[:, :, None, None] * p2[:, None, :, None]
+               * t1[None, :, None, :] * t2[None, None, :, :]
+               * child_prod[:, None, None, :])
+        valid = (p1_mask[:, :, None, None] & p2_mask[:, None, :, None]
+                 & ok[:, None, None, :])
+        lik = np.where(valid, lik, 0.0)
+        keyed = np.zeros((G, S, S, J))
+        present = np.zeros((G, S, S, J), bool)
+        for j in range(J):
+            keyed[..., j] = lik[..., key_id == j].max(axis=-1)
+            present[..., j] = valid[..., key_id == j].any(axis=-1)
+        return keyed, present
+
+    if use_device is None:
+        use_device = jax.default_backend() != "cpu"
+    if use_device:
+        keyed, present = jax.jit(compute)(
+            jnp.asarray(parent_liks), jnp.asarray(child_liks))
+        keyed, present = np.asarray(keyed), np.asarray(present)
+    else:
+        keyed, present = compute_np(np.asarray(parent_liks, np.float64),
+                                    np.asarray(child_liks, np.float64))
+
+    results: list[JointResult] = []
+    for g in range(G):
+        kg = keyed[g]                                       # [S, S, J]
+        total = float(kg.sum())
+        flat = kg.reshape(-1)
+        best_idx = int(np.argmax(flat))
+        max_lik = float(flat[best_idx])
+        if max_lik <= 0:
+            raise RuntimeError("Maximal likelihood was not found")
+        p1b, p2b, jb = np.unravel_index(best_idx, kg.shape)
+        res = JointResult(
+            best={"parent1": int(p1b), "parent2": int(p2b),
+                  **{f"child{c}": int(key_totals[jb, c]) for c in range(C)}},
+            maximal_log_likelihood=float(np.log(max_lik)),
+            total_marginal=total)
+        nz = np.argwhere(present[g])
+        for p1i, p2i, j in nz:
+            key = (int(p1i), int(p2i)) + tuple(int(x) for x in key_totals[j])
+            res.configs[key] = float(kg[p1i, p2i, j])
+        results.append(res)
+    return results
+
+
 def single_sample_qscore(liks: np.ndarray, cn: int,
                          max_qscore: float = MAX_QSCORE) -> float:
     """VariantCaller.GetSingleSampleQualityScore (:60-67)."""
@@ -529,15 +672,28 @@ def call_pedigree(
     trans = transition_matrix(max_cn)
     n_segments = len(next(iter(segments_by_sample.values())))
 
+    # per-sample likelihoods for every segment up front (vectorizable table
+    # lookups), then ONE batched device contraction over all segments for
+    # the pedigree joint likelihood (VariantCaller.cs:319-380 per-segment
+    # loop -> [G, S, S, K] tensor; SURVEY §7(5))
+    all_liks = {
+        n: np.stack([single_sample_likelihoods(
+            segments_by_sample[n][i], stats_by_sample[n], models[n], max_cn)
+            for i in range(n_segments)])
+        for n in names}
+    joint_results: list[JointResult] | None = None
+    if full_pedigree and n_segments:
+        joint_results = pedigree_joint_likelihood_batched(
+            np.stack([all_liks[parents[0]], all_liks[parents[1]]], axis=1),
+            np.stack([all_liks[c] for c in offspring], axis=1),
+            trans, max_cn)
+
     for i in range(n_segments):
         segs = {n: segments_by_sample[n][i] for n in names}
-        liks = {n: single_sample_likelihoods(
-            segs[n], stats_by_sample[n], models[n], max_cn) for n in names}
+        liks = {n: all_liks[n][i] for n in names}
 
         if full_pedigree:
-            result = pedigree_joint_likelihood(
-                [liks[parents[0]], liks[parents[1]]],
-                [liks[c] for c in offspring], trans, max_cn)
+            result = joint_results[i]
             cns = {parents[0]: result.best["parent1"],
                    parents[1]: result.best["parent2"]}
             for c_idx, c in enumerate(offspring):

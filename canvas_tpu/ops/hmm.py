@@ -709,6 +709,108 @@ def segment_coverage_batched(
     return out
 
 
+def _emission_log_probs_np(cov: np.ndarray, tables: np.ndarray,
+                           use_all_states: bool) -> np.ndarray:
+    """Host float64 oracle of emission_log_probs for one contig:
+    [T, D] -> [T, S] (genotype-permutation max, Distributions.cs:257-297)."""
+    S, D, V = tables.shape
+    logt = np.where(tables > 0,
+                    np.log(np.maximum(tables.astype(np.float64), 1e-300)),
+                    NEG_INF)
+    if not use_all_states:
+        g01 = np.maximum(logt[0], logt[1])
+        g34 = np.maximum(logt[3], logt[4])
+        logt = logt.copy()
+        logt[0] = logt[1] = g01
+        logt[3] = logt[4] = g34
+    idx = np.clip(np.rint(cov).astype(np.int64), 0, V - 1)      # [T, D]
+    factor = logt[:, np.arange(D)[None, :], idx[:, None, :]]    # [T, S, D]
+    factor = np.transpose(factor, (0, 1, 2))
+    ems = []
+    for j in range(S):
+        combos = np.array(genotype_combinations(D, j))           # [G, D]
+        f = factor[:, combos, np.arange(D)[None]]                # [T, G, D]
+        ems.append(f.sum(axis=-1).max(axis=-1))
+    return np.stack(ems, axis=-1)                                # [T, S]
+
+
+def segment_coverage_joint_batched(
+    coverage_by_contig: dict[str, np.ndarray],   # contig -> [T_c, D]
+    n_states: int = N_STATES,
+    min_size: int = 10,
+    use_pallas: bool | None = None,
+    chunk: int = 256,
+) -> dict[str, list[int]]:
+    """Joint multi-sample HMM over ALL contigs as batched device lanes.
+
+    Joint mode (HiddenMarkovModelsRunner.cs 'HMM') uses per-contig NB
+    tables and the grouped genotype-permutation emission max, so the
+    emission [T, S] is computed per contig (one async device dispatch
+    each), then all contigs decode as padded lanes of ONE chunked Viterbi
+    — the same lane batching as PerSampleHMM, sharded over the mesh when
+    more than one device is visible."""
+    names = list(coverage_by_contig)
+    lengths = {n: np.atleast_2d(np.asarray(coverage_by_contig[n])).shape[0]
+               for n in names}
+    live = [n for n in names if lengths[n] > min_size]
+    out: dict[str, list[int]] = {n: [0] for n in names if n not in live}
+    if not live:
+        return out
+
+    tables_by: dict[str, np.ndarray] = {}
+    clamped_by: dict[str, np.ndarray] = {}
+    em_dev: dict[str, jnp.ndarray] = {}
+    for n in live:
+        cov = np.atleast_2d(np.asarray(coverage_by_contig[n], np.float64))
+        if cov.shape[0] == 1 and lengths[n] != 1:
+            cov = cov.T
+        tables, _, clamped = build_emission_tables(cov, n_states)
+        tables_by[n], clamped_by[n] = tables, clamped
+        x = jnp.asarray(clamped, jnp.float32)[None]             # [1, T, D]
+        em_dev[n] = emission_log_probs(
+            x, tables, jnp.ones((1, clamped.shape[0]), bool),
+            use_all_states=False)[0]                            # [T, S]
+
+    T = _next_pow2(max(lengths[n] for n in live))
+    B = _next_pow2(len(live))
+    from canvas_tpu.parallel.mesh import sharding_enabled
+
+    n_dev = jax.device_count() if sharding_enabled() else 1
+    if n_dev > 1:
+        B = max(B, _next_pow2(n_dev))
+    mask_np = np.zeros((B, T), dtype=bool)
+    for b, n in enumerate(live):
+        mask_np[b, :lengths[n]] = True
+    em = jnp.zeros((B, T, n_states), jnp.float32)
+    for b, n in enumerate(live):
+        em = em.at[b, :lengths[n]].set(em_dev[n])
+    mask = jnp.asarray(mask_np)
+    log_trans = log_transition(n_states)
+    log_init = np.log(np.full(n_states, 1.0 / n_states, np.float32))
+
+    paths_dev = viterbi_decode_chunked(
+        em, jnp.asarray(log_trans), jnp.asarray(log_init), mask, chunk=chunk)
+
+    def fetch():
+        return np.asarray(paths_dev)
+
+    def fallback():
+        log_em = np.zeros((B, T, n_states))
+        for b, n in enumerate(live):
+            log_em[b, :lengths[n]] = _emission_log_probs_np(
+                clamped_by[n], tables_by[n], use_all_states=False)
+        decode = viterbi_decode_np_chunked if T > 4096 else viterbi_decode_np
+        return decode(log_em, log_transition(n_states),
+                      np.log(np.full(n_states, 1.0 / n_states, np.float32)),
+                      mask_np)
+
+    from canvas_tpu.config import race_fetch
+    paths = race_fetch(fetch, fallback)
+    for b, n in enumerate(live):
+        out[n] = breakpoints_from_path(paths[b, :lengths[n]])
+    return out
+
+
 def segment_coverage(
     coverage_by_contig: dict[str, np.ndarray],  # contig -> [T_c, D]
     per_sample: bool = True,

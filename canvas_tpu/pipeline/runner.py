@@ -344,8 +344,15 @@ def run_snv(ctx: WorkflowContext, sample: Sample,
             snvio.pileup_counts(bam, contig, by_chrom[contig])
     all_sites: list[snvio.SnvSite] = []
     for contig in ctx.canonical:
-        all_sites.extend(s for s in by_chrom[contig]
-                         if snvio.is_variant_site(s, sample.is_dbsnp_vcf))
+        contig_sites = [s for s in by_chrom[contig]
+                        if snvio.is_variant_site(s, sample.is_dbsnp_vcf)]
+        # per-chromosome interop file the reference's CanvasSNV emits
+        # before concatenation (<chr>-<sample>.SNV.txt.gz,
+        # SNVReviewer.cs:283-297 + CanvasRunner.cs:688-710) — enables
+        # differential debugging against reference stage outputs
+        snvio.write_frequencies(
+            ckpt.path(f"{contig}-{sample.name}.SNV.txt.gz"), contig_sites)
+        all_sites.extend(contig_sites)
     snvio.write_frequencies(out, all_sites)
     # VFResults baf companion (ConcatenateCanvasSNVBafResults target,
     # CanvasRunner.cs:677-683)
@@ -375,9 +382,10 @@ def run_partition(
             # all contigs in one batched device decode (pallas on TPU)
             bps = hmm.segment_coverage_batched(cov)
         elif method == "HMM":
-            bps = hmm.segment_coverage(
+            # joint multi-sample decode: all contigs as batched device lanes
+            bps = hmm.segment_coverage_joint_batched(
                 {c: np.stack([cov_cache[n][c] for n in samples_bins], axis=1)
-                 for c in cov}, per_sample=False)
+                 for c in cov})
         elif method == "Wavelets":
             cv = metrics.coverage_variability(cov, cfg.evenness_score_window)
             cmads = metrics.factor_of_three_cmads(cov)
@@ -437,6 +445,12 @@ def run_partition(
             excluded_by_contig=ctx.excluded_intervals,
             max_inter_bin_dist=cfg.max_inter_bin_dist_in_segment,
             ploidy_breaks_by_contig=ploidy_breaks)
+        # interop stage output matching CanvasPartition's
+        # <sample>.partitioned (Segmentation.cs:235-252) for differential
+        # debugging against reference runs
+        segops.write_partitioned(
+            ctx.checkpointer.path(f"{name}.partitioned"),
+            numbered, bin_start, bin_end, covd)
         by_contig: dict[str, list] = {}
         for c, segs in numbered.items():
             ids = np.concatenate([
@@ -919,12 +933,14 @@ def intersect_bins(samples_bins: dict[str, BinSet]) -> dict[str, BinSet]:
         return samples_bins
     keysets = []
     for b in samples_bins.values():
-        keysets.append(set(zip(b.contig_id.tolist(), b.start.tolist())))
+        keysets.append(set(zip(b.contig_id.tolist(), b.start.tolist(),
+                               b.end.tolist())))
     common = set.intersection(*keysets)
     out = {}
     for name, b in samples_bins.items():
         mask = np.fromiter(
-            ((c, s) in common for c, s in zip(b.contig_id, b.start)),
+            ((c, s, e) in common
+             for c, s, e in zip(b.contig_id, b.start, b.end)),
             dtype=bool, count=len(b))
         out[name] = b.select(mask)
     return out

@@ -178,3 +178,19 @@ def test_x64_parity_viterbi_decisions(rng):
     np.testing.assert_array_equal(base, wide)
     # and the decode is actually correct
     assert np.mean(base == true_states) > 0.95
+
+
+def test_joint_batched_matches_percontig(rng):
+    """The batched joint multi-sample HMM (lanes through
+    viterbi_decode_chunked) must give the per-contig joint decode's
+    breakpoints (runner 'HMM' method)."""
+    cov = {}
+    for i in range(3):
+        T = 400 + 100 * i
+        base = rng.poisson(100, size=(T, 2)).astype(np.float64)
+        base[120:200] *= 1.6   # shared gain
+        cov[f"chr{i}"] = base
+    batched = hmm.segment_coverage_joint_batched(cov)
+    percontig = hmm.segment_coverage(cov, per_sample=False)
+    assert batched == percontig
+    assert all(len(b) >= 2 for b in batched.values())

@@ -55,10 +55,9 @@ def test_ffpe_strip_applies_after_extreme_gc_removal():
     gcs = rng.integers(40, 61, size=n).astype(np.int32)
     rare = rng.choice(n, size=10, replace=False)
     gcs[rare] = 5
-    # per-window varying dispersion so the MAD of window SDs (the localSd
-    # average) clears the >5.0 strip gate
     # smoothly varying dispersion: window SD = sqrt(2*lam) stays below the
-    # 2*20 strip cutoff but varies enough that the MAD of window SDs > 5
+    # 2*20 strip cutoff but varies enough that the MAD of window SDs
+    # (the localSd average) clears the >5.0 strip gate
     lam = 360 + 340 * np.sin(np.arange(n) * 2 * np.pi / 4000)
     counts = rng.poisson(lam).astype(np.float32)
     # make one 20-bin window wildly noisy so its local SD >> 40
@@ -113,3 +112,21 @@ def test_forbidden_interval_midpoint_forces_segment_break():
     assert len(with_excl["chr1"]) == 2
     assert list(with_excl["chr1"][0].bin_indices) == [0, 1]
     assert list(with_excl["chr1"][1].bin_indices) == [2, 3]
+
+
+def test_intersect_bins_uses_full_keys():
+    """Utilities.cs:834 intersects on (chrom, start, end); under mixed bin
+    sizes a shared start with different ends must NOT survive."""
+    from canvas_tpu.pipeline.runner import intersect_bins
+
+    contigs = ContigTable(["chr1"], [10 ** 6])
+    def mk(starts, ends):
+        n = len(starts)
+        return BinSet(contigs, np.zeros(n, np.int32),
+                      np.asarray(starts, np.int64), np.asarray(ends, np.int64),
+                      np.full(n, 50, np.int32), np.ones(n, np.float32))
+    a = mk([0, 100, 200], [100, 200, 300])
+    b = mk([0, 100, 200], [100, 150, 300])   # bin 1 differs in end only
+    out = intersect_bins({"a": a, "b": b})
+    assert list(out["a"].start) == [0, 200]
+    assert list(out["b"].start) == [0, 200]

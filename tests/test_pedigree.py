@@ -175,3 +175,44 @@ def test_haplotype_loh_detection(rng):
     assert out["s"][0].major_chromosome_count == 1
     assert out["s"][1].copy_number == 2
     assert out["s"][1].major_chromosome_count == 2   # LOH (0,2)
+
+
+def test_batched_joint_likelihood_matches_scalar(rng):
+    """The [G, S, S, K] device contraction must reproduce the per-segment
+    scalar loop exactly: best CNs, max log-likelihood, marginals, and the
+    full config dictionaries (VariantCaller.cs:319-380)."""
+    trans = ped.transition_matrix()
+    S = ped.MAX_COPY_NUMBER
+    G = 40
+    for n_children in (1, 2):
+        pl = rng.random((G, 2, S)) + 1e-6
+        cl = rng.random((G, n_children, S)) + 1e-6
+        batched = ped.pedigree_joint_likelihood_batched(
+            pl, cl, trans, use_device=False)
+        for g in range(G):
+            scalar = ped.pedigree_joint_likelihood(
+                [pl[g, 0], pl[g, 1]], [cl[g, c] for c in range(n_children)],
+                trans)
+            assert batched[g].best == scalar.best, (n_children, g)
+            assert batched[g].maximal_log_likelihood == pytest.approx(
+                scalar.maximal_log_likelihood, rel=1e-12)
+            assert batched[g].total_marginal == pytest.approx(
+                scalar.total_marginal, rel=1e-12)
+            assert set(batched[g].configs) == set(scalar.configs)
+            for key, v in scalar.configs.items():
+                assert batched[g].configs[key] == pytest.approx(v, rel=1e-12)
+
+
+def test_batched_joint_likelihood_device_path(rng):
+    """use_device=True (jit) agrees with the numpy path on best CNs and
+    closely on marginals (f32 on accelerators)."""
+    trans = ped.transition_matrix()
+    S = ped.MAX_COPY_NUMBER
+    G = 16
+    pl = rng.random((G, 2, S)) + 1e-6
+    cl = rng.random((G, 1, S)) + 1e-6
+    a = ped.pedigree_joint_likelihood_batched(pl, cl, trans, use_device=True)
+    b = ped.pedigree_joint_likelihood_batched(pl, cl, trans, use_device=False)
+    for x, y in zip(a, b):
+        assert x.best == y.best
+        assert x.total_marginal == pytest.approx(y.total_marginal, rel=1e-5)

@@ -395,3 +395,31 @@ def test_weighted_average_controls_pipeline(reference_dir, tmp_path):
     gains = [c for cl in calls.values() for c in cl if c.cn > 2]
     assert any(c.chrom == "chr1" and c.start < 200_000 and c.end > 80_000
                for c in gains)
+
+
+def test_interop_stage_outputs(reference_dir, tmp_path):
+    """Per-chromosome <chr>-<sample>.SNV.txt.gz (CanvasRunner.cs:688-710)
+    and <sample>.partitioned (Segmentation.cs:235-252) interop files are
+    written alongside the checkpoints."""
+    bam_path = tmp_path / "s.bam"
+    make_bam(bam_path, np.random.default_rng(5), CNV_PLAN)
+    # het SNV sites for a VF file
+    vcf = tmp_path / "normal.vcf"
+    lines = ["##fileformat=VCFv4.1",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts"]
+    rng = np.random.default_rng(2)
+    for pos in sorted(rng.integers(1000, L - 1000, size=200).tolist()):
+        lines.append(f"chr1\t{pos}\t.\tA\tC\t50\tPASS\t.\tGT:GQX\t0/1:60")
+    vcf.write_text("\n".join(lines) + "\n")
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "o"))
+    sample = runner.Sample("sx", str(bam_path), normal_vcf=str(vcf))
+    runner.germline_wgs(ctx, sample)
+    ck = ctx.checkpointer
+    assert ck.path("chr1-sx.SNV.txt.gz").exists()
+    assert ck.path("chr2-sx.SNV.txt.gz").exists()
+    assert ck.path("sx.partitioned").exists()
+    from canvas_tpu.ops.segments import read_partitioned
+    rows = read_partitioned(ck.path("sx.partitioned"))
+    assert "chr1" in rows and len(rows["chr1"][0]) > 10
