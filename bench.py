@@ -1,20 +1,32 @@
-"""Benchmark: coverage bins segmented per second per chip (HMM path).
+"""Benchmark: coverage bins segmented per second per chip (HMM+CBS).
 
-Workload: a genome-scale batch of coverage lanes (24 contigs x 512k bins ~=
-12.6M bins, the bin count of a 60x WGS sample at ~250bp bins) pushed through
-the fused emission + tropical-scan Viterbi segmentation step on one chip.
+This is BASELINE.json's headline metric.  Two workloads:
+  * HMM: a genome-scale batch of coverage lanes (24 contigs x 512k bins ~=
+    12.6M bins, the bin count of a 60x WGS sample at ~250bp bins) through
+    the fused emission + tropical-scan Viterbi step on one chip;
+  * CBS: 24 contigs x 16k bins through the full recursive binary
+    segmentation with permutation max-t kernels (the production
+    Somatic-Enrichment path; host-vectorized by design — the recursion's
+    data-dependent segment lengths would force a recompile per length on
+    device, see ops/cbs.py:htmax_p_batch).
 
-Baseline: the reference's segmentation stage is a sequential C# Viterbi
-parallelized per-chromosome over cores (HiddenMarkovModelsRunner.cs:51-104).
-BASELINE.json publishes no stage throughput, so vs_baseline is measured
-against a 1.0e6 bins/sec estimate for the reference on a 16-vCPU host (its
-demo machine), derived from the 5-state x 5-transition double-precision
-inner loop at ~1ns/op plus table lookups.
+The headline value is the combined throughput (total bins / total time).
+Extra keys report each stage, the somatic purity-grid device throughput,
+and the 1->8-device virtual-mesh scaling of the sharded production decode
+(measured in a CPU subprocess; the real chip count here is 1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's segmentation stage is a sequential C# Viterbi /
+DNAcopy-port CBS parallelized per-chromosome over cores
+(HiddenMarkovModelsRunner.cs:51-104, CBSRunner.cs:62-147).  BASELINE.json
+publishes no stage throughput, so vs_baseline is measured against a 1.0e6
+bins/sec estimate for the reference on its 16-vCPU demo machine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -22,14 +34,9 @@ import numpy as np
 REFERENCE_BINS_PER_SEC = 1.0e6
 
 
-def main():
+def bench_hmm():
     import jax
     import jax.numpy as jnp
-
-    # start paying the tunneled session's open toll while tables build;
-    # the first dispatch below may otherwise block for minutes
-    from canvas_tpu.config import warm_device_session
-    warm_device_session()
 
     from canvas_tpu.ops import hmm
     from canvas_tpu.ops.viterbi_pallas import viterbi_decode_pallas
@@ -54,24 +61,21 @@ def main():
     logt = jnp.asarray(log_tables)
     covj, maskj = jnp.asarray(cov), jnp.asarray(mask)
 
-    import jax.numpy as _jnp
-
     @jax.jit
     def emission(c, m):
         # one-hot MXU contraction; HIGHEST precision = exact row selection
-        idx = _jnp.clip(_jnp.rint(c[..., 0]).astype(_jnp.int32), 0, V - 1)
+        idx = jnp.clip(jnp.rint(c[..., 0]).astype(jnp.int32), 0, V - 1)
         oh = (idx[..., None]
-              == _jnp.arange(V, dtype=_jnp.int32)).astype(_jnp.float32)
+              == jnp.arange(V, dtype=jnp.int32)).astype(jnp.float32)
         f = jax.lax.dot_general(oh, logt.reshape(-1, V).T,
                                 (((2,), (0,)), ((), ())),
                                 precision=jax.lax.Precision.HIGHEST)
-        return _jnp.where(m[..., None], f, 0.0)
+        return jnp.where(m[..., None], f, 0.0)
 
     def step(c, m):
         return viterbi_decode_pallas(emission(c, m), log_trans, log_init, m)
 
-    # warmup/compile
-    out = step(covj, maskj)
+    out = step(covj, maskj)   # warmup/compile
     out.block_until_ready()
 
     # best of 4 timed rounds: the tunneled TPU intermittently stalls for
@@ -85,14 +89,140 @@ def main():
             out = step(covj, maskj)
         out.block_until_ready()
         dt = min(dt, (time.perf_counter() - t0) / n_iters)
+    return B * T, dt
 
-    bins_per_sec = B * T / dt
-    print(json.dumps({
-        "metric": "coverage bins segmented/sec/chip (5-state NB HMM Viterbi)",
-        "value": round(bins_per_sec, 1),
+
+def bench_cbs():
+    from canvas_tpu.ops import cbs
+
+    rng = np.random.default_rng(1)
+    B, T = 24, 16 * 1024
+    cov = {}
+    for b in range(B):
+        c = rng.normal(0.0, 1.0, size=T)
+        c[T // 4: T // 3] += 1.5     # planted events drive real recursion
+        c[T // 2: T // 2 + 600] -= 1.2
+        cov[f"chr{b}"] = c
+    # the sequential-stopping boundary is an lru-cached startup constant
+    # (like an XLA compile); warm it outside the timed region
+    cbs.compute_boundary(cbs.DEFAULT_NPERM, cbs.DEFAULT_ALPHA,
+                         cbs.DEFAULT_ETA)
+    t0 = time.perf_counter()
+    lengths = cbs.run_cbs(cov)
+    dt = time.perf_counter() - t0
+    n_segs = sum(len(v) for v in lengths.values())
+    assert n_segs >= B  # sanity: segmentation actually ran
+    return B * T, dt
+
+
+def bench_somatic_grid():
+    """Device purity/ploidy grid: models/sec over a WGS-scale segment set."""
+    from canvas_tpu.models import somatic as som
+    from canvas_tpu.models import somatic_grid as sg
+    from canvas_tpu.models.segment_model import Segment
+
+    rng = np.random.default_rng(2)
+    infos = []
+    pos = 0
+    for i in range(600):
+        length = int(rng.integers(100_000, 3_000_000))
+        seg = Segment("chr1", pos, pos + length,
+                      rng.normal(100, 10, size=40).astype(np.float32))
+        pos += length
+        cov = float(rng.uniform(40, 200))
+        maf = float(rng.uniform(0.05, 0.5)) if rng.random() < 0.8 else -1.0
+        infos.append(som.SegmentInfo(seg, cov, maf, float(length)))
+    ploidies = som.initialize_ploidies(100.0)
+    M = 4096
+    coverages = rng.uniform(30, 230, size=M)
+    purities = rng.uniform(0.2, 1.0, size=M)
+    # warmup (compile)
+    sg.evaluate_grid_device(coverages[:512], purities[:512], infos, ploidies,
+                            0.003, int(3.1e9), chunk=512)
+    t0 = time.perf_counter()
+    sg.evaluate_grid_device(coverages, purities, infos, ploidies, 0.003,
+                            int(3.1e9), chunk=512)
+    dt = time.perf_counter() - t0
+    return M, len(infos), dt
+
+
+_SCALING_CHILD = r"""
+import json, os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from canvas_tpu.ops import hmm
+
+rng = np.random.default_rng(0)
+cov = {f"chr{i}": np.abs(rng.normal(100, 12, size=96 * 1024))
+       for i in range(8)}
+
+def timed():
+    t0 = time.perf_counter()
+    hmm.segment_coverage_batched(cov)
+    return time.perf_counter() - t0
+
+timed()  # compile both paths once
+os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"] = "1"
+timed()
+del os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"]
+t8 = min(timed() for _ in range(3))
+os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"] = "1"
+t1 = min(timed() for _ in range(3))
+print(json.dumps({"t1": t1, "t8": t8,
+                  "efficiency": t1 / (8 * t8)}))
+"""
+
+
+def bench_scaling():
+    """1 -> 8 virtual-device scaling of the sharded production decode.
+
+    Run in a CPU subprocess (the real TPU here is one chip); on hardware
+    with N chips the same sharded path rides ICI.  CPU devices share host
+    cores, so this measures sharding overhead, not ideal speedup."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _SCALING_CHILD], capture_output=True,
+            text=True, timeout=900)
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
+def main():
+    # start paying the tunneled session's open toll while tables build;
+    # the first dispatch below may otherwise block for minutes
+    from canvas_tpu.config import warm_device_session
+    warm_device_session()
+
+    hmm_bins, hmm_dt = bench_hmm()
+    cbs_bins, cbs_dt = bench_cbs()
+    grid_models, grid_segs, grid_dt = bench_somatic_grid()
+    scaling = bench_scaling()
+
+    combined = (hmm_bins + cbs_bins) / (hmm_dt + cbs_dt)
+    result = {
+        "metric": "coverage bins segmented/sec/chip (HMM+CBS)",
+        "value": round(combined, 1),
         "unit": "bins/sec",
-        "vs_baseline": round(bins_per_sec / REFERENCE_BINS_PER_SEC, 3),
-    }))
+        "vs_baseline": round(combined / REFERENCE_BINS_PER_SEC, 3),
+        "hmm_bins_per_sec": round(hmm_bins / hmm_dt, 1),
+        "cbs_bins_per_sec": round(cbs_bins / cbs_dt, 1),
+        "somatic_grid_models_per_sec": round(grid_models / grid_dt, 1),
+        "somatic_grid_segments": grid_segs,
+    }
+    if scaling:
+        result["virtual_cpu_mesh_1to8"] = {
+            "t1_s": round(scaling["t1"], 3), "t8_s": round(scaling["t8"], 3),
+            "efficiency": round(scaling["efficiency"], 3),
+            "note": "8 virtual devices share this host's CPU cores; "
+                    "validates the sharded path end-to-end, does not "
+                    "measure ICI speedup (1 real chip here)"}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -442,9 +442,10 @@ def evaluate_grid_device(
         amp = jnp.sum(pc[:, 3:som.MAX_COPY_NUMBER], axis=1)
         baseline = jnp.where(amp > 0.8, 4, 2)
         extra = jnp.where(amp > 0.8, 1.0, 0.0)
+        # float(genome_length): 3.1e9 as a weak int overflows int32 tracing
         events = extra + jnp.sum(
             jnp.abs(cns - baseline[:, None]) * d_seg_len[None], axis=1) \
-            / genome_length
+            / float(genome_length)
         dd = 1.0 / jnp.maximum(0.001, events)
 
         return (deviation, precision, accuracy, ploidy, pc, percent_normal,

