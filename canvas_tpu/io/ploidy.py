@@ -116,6 +116,131 @@ def load_ploidy_vcf(path: str | Path, sample_id: str | None = None) -> PloidyInf
     return info
 
 
+@dataclass(frozen=True)
+class ReferencePloidyInterval:
+    """One (chrom, 1-based inclusive interval, ploidy) run."""
+    chromosome: str
+    start: int
+    end: int
+    ploidy: int
+
+
+class ReferencePloidy:
+    """CanvasCommon/ReferencePloidy.cs: per-chromosome sorted non-2 ploidy
+    runs from a (possibly multi-sample) ploidy VCF, with query splitting.
+
+    Used by EvaluateCNV to assign reference ploidy to truth intervals
+    (CNVChecker.cs:557-588)."""
+
+    def __init__(self, regions: dict[str, list[tuple[int, int, int]]]):
+        # regions: chrom -> [(start, end, ploidy)], validated + merged
+        self._regions = regions
+
+    @classmethod
+    def from_intervals(
+        cls, intervals: list[ReferencePloidyInterval]) -> "ReferencePloidy":
+        by_chrom: dict[str, list[tuple[int, int, int]]] = {}
+        for iv in intervals:
+            by_chrom.setdefault(iv.chromosome, []).append(
+                (iv.start, iv.end, iv.ploidy))
+        out: dict[str, list[tuple[int, int, int]]] = {}
+        for chrom, regs in by_chrom.items():
+            merged: list[tuple[int, int, int]] = []
+            cur_s, cur_e, cur_p = regs[0]
+            for s, e, p in regs[1:]:
+                if s <= cur_e and e >= cur_s:
+                    raise ValueError(
+                        f"Error in Ploidy VCF. Found overlapping intervals "
+                        f"[{cur_s},{cur_e}] and [{s},{e}]")
+                if (s, e) < (cur_s, cur_e):
+                    raise ValueError(
+                        f"Error in Ploidy VCF. Missorted intervals "
+                        f"[{cur_s},{cur_e}] followed by [{s},{e}]")
+                if cur_e + 1 == s and cur_p == p:       # LeftAdjacent merge
+                    cur_e = e
+                    continue
+                merged.append((cur_s, cur_e, cur_p))
+                cur_s, cur_e, cur_p = s, e, p
+            merged.append((cur_s, cur_e, cur_p))
+            out[chrom] = [(s, e, p) for s, e, p in merged if p != 2]
+        return cls(out)
+
+    @classmethod
+    def load(cls, path: str | Path,
+             sample_id: str | None = None) -> "ReferencePloidy":
+        """ReferencePloidy.Load: start shifts by +1 when ALT is symbolic
+        (VCF padding-base rule, ReferencePloidy.cs:128-131)."""
+        intervals: list[ReferencePloidyInterval] = []
+        opener = gzip.open if str(path).endswith(".gz") else open
+        sample_index = 0
+        with opener(str(path), "rt") as f:
+            for line in f:
+                if line.startswith("##"):
+                    continue
+                if line.startswith("#CHROM"):
+                    samples = line.rstrip("\n").split("\t")[9:]
+                    if sample_id is not None:
+                        if sample_id not in samples:
+                            raise ValueError(
+                                f"VCF does not contain genotype column for "
+                                f"sample '{sample_id}'")
+                        sample_index = samples.index(sample_id)
+                    continue
+                fields = line.rstrip("\n").split("\t")
+                end = None
+                for kv in fields[7].split(";"):
+                    if kv.startswith("END="):
+                        end = int(kv[4:])
+                if end is None:
+                    raise ValueError(
+                        f"Missing END field in INFO column: {line!r}")
+                fmt = fields[8].split(":")
+                col = dict(zip(fmt, fields[9 + sample_index].split(":")))
+                if "CN" not in col or not col["CN"].isdigit():
+                    raise ValueError(
+                        f"CN field must be an unsigned integer: {line!r}")
+                start = int(fields[1])
+                if fields[4].startswith("<"):
+                    start += 1
+                intervals.append(ReferencePloidyInterval(
+                    fields[0], start, end, int(col["CN"])))
+        return cls.from_intervals(intervals)
+
+    def reference_ploidy_intervals(
+        self, chromosome: str, start: int, end: int,
+    ) -> list[ReferencePloidyInterval]:
+        """Adjacent runs spanning [start, end] (1-based inclusive), trimmed
+        to the query; gaps fill with ploidy 2
+        (ReferencePloidy.GetReferencePloidyIntervals)."""
+        out: list[ReferencePloidyInterval] = []
+        rem_s, rem_e = start, end
+        for (s, e, p) in self._regions.get(chromosome, []):
+            o_s, o_e = max(s, rem_s), min(e, rem_e)
+            if o_s > o_e:
+                continue
+            if rem_s < s:
+                out.append(ReferencePloidyInterval(chromosome, rem_s,
+                                                   s - 1, 2))
+                rem_s = s
+            out.append(ReferencePloidyInterval(chromosome, o_s, o_e, p))
+            if rem_e <= e:
+                return out
+            rem_s = e + 1
+        out.append(ReferencePloidyInterval(chromosome, rem_s, rem_e, 2))
+        return out
+
+    def single_reference_ploidy(self, chromosome: str, start: int,
+                                end: int) -> int:
+        """GetSingleReferencePloidy (ReferencePloidyExtensions.cs): raises
+        when the query spans regions of different ploidy."""
+        runs = self.reference_ploidy_intervals(chromosome, start, end)
+        if len(runs) != 1:
+            raise ValueError(
+                f"Reference interval '{chromosome}:{start}-{end}' overlaps "
+                f"regions with different ploidy")
+        return runs[0].ploidy
+
+
 def write_ploidy_vcf(path: str | Path, sample_name: str,
                      intervals: list[PloidyInterval]) -> None:
     """Minimal ploidy VCF writer (Canvas.Wrapper CanvasPloidyVcfCreator)."""

@@ -343,22 +343,51 @@ def tmax_o(x: np.ndarray, tss: float, al0: int) -> tuple[float, int, int]:
         if n / (L * (n - L)) * psdiff ** 2 <= best:
             break  # no remaining lag can beat the current best
         d = np.abs(cs[L:] - cs[:-L])               # pairs (i, i+L), i=1..n-L
-        k = int(np.argmax(d))
-        bss = n / (L * (n - L)) * d[k] ** 2
-        if bss > best:
+        dmax = float(d.max())
+        bss = n / (L * (n - L)) * dmax ** 2
+        if bss > best:                             # argmax only on improvement
             best = bss
+            k = int(np.argmax(d))
             ti, tj = k + 1, k + 1 + L
     return _bss_to_t2(best, tss, n), ti, tj
 
 
-def htmax_p_batch(perms: np.ndarray, tss: float, al0: int,
-                  kmax: int) -> np.ndarray:
-    """Hybrid max-t over short arcs for each permutation [P, n].
+@partial(jax.jit, static_argnames=("npad", "al0", "kmax"))
+def _htmax_device_jit(perms, n, tss, npad, al0, kmax):
+    """Device HTMaxP: [P, npad] permutations (zero-padded beyond n), real
+    length n dynamic so one executable serves every recursion segment in a
+    power-of-two bucket.  Float64 via upcast-free pairing: the statistic is
+    a max of squared partial-sum diffs — computed in f64 on CPU, f32 on
+    TPU (accepted: permutation stats only gate a >=/< count against the
+    observed stat, validated vs the numpy oracle in tests)."""
+    P = perms.shape[0]
+    cs = jnp.cumsum(perms, axis=1)                       # [P, npad]
+    nf = n.astype(cs.dtype)
+    idx = jnp.arange(npad)
+    best = jnp.zeros(P, cs.dtype)
+    for L in range(al0, kmax + 1):
+        # linear arcs (i, i+L), valid while i + L <= n - 1
+        d_lin = jnp.abs(cs[:, L:] - cs[:, :-L])          # [P, npad-L]
+        lin_ok = idx[: npad - L] + L <= n - 1
+        d1 = jnp.max(jnp.where(lin_ok[None], d_lin, 0.0), axis=1)
+        # wrap arcs pair cs[n-L+j] with cs[j], j = 0..L-1
+        gather = jnp.take(cs, jnp.clip(n - L + idx[:L], 0, npad - 1),
+                          axis=1)                        # [P, L]
+        wrap_ok = (n - L + idx[:L] >= 0) & (idx[:L] < n)
+        d2 = jnp.max(jnp.where(wrap_ok[None],
+                               jnp.abs(gather - cs[:, :L]), 0.0), axis=1)
+        d = jnp.maximum(d1, d2)
+        w = nf / (L * (nf - L))
+        live = (L <= n - 1)
+        best = jnp.where(live, jnp.maximum(best, w * d * d), best)
+    tssv = jnp.where(tss <= best + 0.0001, best + 1.0, tss)
+    return best / ((tssv - best) / (nf - 2.0))
 
-    Pure numpy: the work is ~kmax passes over a [P, n] cumsum (a few 10^8
-    flops at most), while the jitted device version recompiles for every
-    distinct segment length the CBS recursion produces — each compile
-    costs more than the whole computation."""
+
+def htmax_p_batch_np(perms: np.ndarray, tss: float, al0: int,
+                     kmax: int) -> np.ndarray:
+    """Hybrid max-t over short arcs for each permutation [P, n] — float64
+    numpy oracle (~kmax passes over a [P, n] cumsum)."""
     P, n = perms.shape
     cs = np.cumsum(perms, axis=1)
     best = np.zeros(P, dtype=np.float64)
@@ -370,6 +399,43 @@ def htmax_p_batch(perms: np.ndarray, tss: float, al0: int,
         np.maximum(best, w * d * d, out=best)
     tssv = np.where(tss <= best + 0.0001, best + 1.0, tss)
     return best / ((tssv - best) / (n - 2.0))
+
+
+_HTMAX_DEVICE_MIN_N = 4096   # below this the numpy pass is faster than a
+                             # device dispatch
+
+
+def _cbs_device_enabled() -> bool:
+    """CBS device kernels are opt-in (CANVAS_TPU_CBS_DEVICE=1): each htmax
+    call ships a fresh [P, n] permutation batch to the device, and over a
+    tunneled TPU the H2D transfer alone (~0.3 s for 32 MB at ~100 MB/s)
+    swamps the compute — measured 5.2k bins/s device vs 49k bins/s numpy
+    on the 24x16k bench.  On directly-attached chips the device path wins;
+    enable it there."""
+    import os
+
+    return os.environ.get("CANVAS_TPU_CBS_DEVICE", "0") == "1"
+
+
+def htmax_p_batch(perms: np.ndarray, tss: float, al0: int,
+                  kmax: int) -> np.ndarray:
+    """HTMaxP over a permutation batch; opt-in device path for large
+    segments (power-of-two padded so recursion lengths share a few
+    executables), numpy otherwise."""
+    P, n = perms.shape
+    if (not _cbs_device_enabled() or jax.default_backend() == "cpu"
+            or n < _HTMAX_DEVICE_MIN_N or kmax >= n - 1):
+        return htmax_p_batch_np(perms, tss, al0, kmax)
+    npad = 1 << (n - 1).bit_length()
+    padded = np.zeros((P, npad), dtype=np.float32)
+    padded[:, :n] = perms
+    try:
+        out = np.asarray(_htmax_device_jit(
+            jnp.asarray(padded), jnp.asarray(n, jnp.int32),
+            jnp.asarray(tss, jnp.float32), npad, al0, kmax))
+        return out.astype(np.float64)
+    except Exception:   # device trouble -> exact host oracle
+        return htmax_p_batch_np(perms, tss, al0, kmax)
 
 
 def tmax_p_batch(perms: np.ndarray, tss: float, al0: int) -> np.ndarray:

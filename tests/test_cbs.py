@@ -96,3 +96,22 @@ def test_run_cbs_deterministic(rng):
     a = cbs.run_cbs(cov, n_perm=500)
     b = cbs.run_cbs(cov, n_perm=500)
     np.testing.assert_array_equal(a["chr1"], b["chr1"])
+
+
+def test_htmax_device_matches_numpy_oracle(rng):
+    """The device HTMaxP (padded, dynamic length) must match the float64
+    numpy oracle within f32 tolerance on every permutation."""
+    import jax.numpy as jnp
+    from canvas_tpu.ops.cbs import (_htmax_device_jit, htmax_p_batch_np)
+
+    P, n = 64, 5000
+    perms = rng.normal(0, 1, size=(P, n))
+    tss = float(np.sum((perms[0] - perms[0].mean()) ** 2))
+    ref = htmax_p_batch_np(perms, tss, 2, 25)
+    npad = 1 << (n - 1).bit_length()
+    padded = np.zeros((P, npad), np.float32)
+    padded[:, :n] = perms
+    dev = np.asarray(_htmax_device_jit(
+        jnp.asarray(padded), jnp.asarray(n, jnp.int32),
+        jnp.asarray(tss, jnp.float32), npad, 2, 25))
+    np.testing.assert_allclose(dev, ref, rtol=5e-3)
