@@ -182,6 +182,46 @@ class CopyNumberModel:
         lik = np.maximum(lik, 1.0 / np.finfo(np.float64).max)
         return float(np.sum(np.log(lik)))
 
+    def genotype_log_likelihoods_multi(
+        self, counts_a: np.ndarray, counts_b: np.ndarray,
+        genotypes: list[tuple[int, int]]) -> np.ndarray:
+        """genotype_log_likelihood for MANY genotypes in one vectorized
+        pass over a [n_genotypes, n_sites] grid — identical values, the
+        per-call Python overhead paid once."""
+        n_gt = len(genotypes)
+        if len(counts_a) == 0:
+            return np.zeros(n_gt)
+        ceil = self.coverage_ceiling
+        row = np.minimum(counts_a, ceil - 1).astype(np.int64)
+        col = np.minimum(counts_b, ceil - 1).astype(np.int64)
+        cn_a = np.array([g[0] for g in genotypes])
+        cn_b = np.array([g[1] for g in genotypes])
+        nz = (cn_a > 0).astype(np.int64) + (cn_b > 0).astype(np.int64)
+
+        lik = np.zeros((n_gt, len(row)))
+        # het term (both haplotypes present)
+        pa = self.allele_table[cn_a]                       # [G, V]
+        pb = self.allele_table[cn_b]
+        het = (1.0 / 3.0) * (pa[:, row] * pb[:, col] + pa[:, col] * pb[:, row])
+        lik += np.where((nz == 2)[:, None], het, 0.0)
+        # homozygous-supported term (any haplotype present)
+        log_err, log_noerr = math.log(0.01), math.log(0.99)
+        total = np.minimum(np.minimum(row + col, self.max_total_allele),
+                           self.total_allele_table.shape[1] - 1)
+        p_tot = self.total_allele_table[cn_a + cn_b][:, total]  # [G, S]
+        log_comb = (self.log_factorial[row + col]
+                    - self.log_factorial[row] - self.log_factorial[col])
+        p_err = (np.exp(log_comb + row * log_err + col * log_noerr)
+                 + np.exp(log_comb + col * log_err + row * log_noerr))
+        prior_hom = np.where(nz == 2, 0.5 / 3.0, 1.0)
+        lik += np.where((nz > 0)[:, None],
+                        prior_hom[:, None] * p_tot * p_err[None], 0.0)
+        # no haplotype present
+        zero_tot = self.total_allele_table[0][total]
+        lik = np.where((nz == 0)[:, None], zero_tot[None], lik)
+        lik = np.maximum(lik, 1.0 / np.finfo(np.float64).max)
+        return np.sum(np.log(lik), axis=1)
+
 
 def truncated_allele_counts(seg: Segment) -> tuple[np.ndarray, np.ndarray]:
     """Balleles.GetTruncatedAlleleCounts (CanvasSegment.cs:101-108):
@@ -535,11 +575,10 @@ def gt_log_likelihood_score(
     """GetGtLogLikelihoodScore (VariantCaller.cs:285-306): phred-scaled
     confidence of the best (upper-triangle) genotype."""
     ca, cb = truncated_allele_counts(seg)
+    upper = [k for k, (a, b) in enumerate(genotypes) if a >= b]
     lls = np.full(len(genotypes), -np.inf)
-    for k, (a, b) in enumerate(genotypes):
-        if a < b:
-            continue
-        lls[k] = model.genotype_log_likelihood(ca, cb, a, b)
+    lls[upper] = model.genotype_log_likelihoods_multi(
+        ca, cb, [genotypes[k] for k in upper])
     max_ll = lls.max()
     if selected is None:
         selected = int(np.argmax(lls))
@@ -582,9 +621,19 @@ def assign_mcc_with_pedigree(
     best_ll = -np.inf
     trunc = {n: truncated_allele_counts(segs[n]) for n in segs}
 
+    # each sample's per-genotype likelihood is constant across the (g1, g2)
+    # outer loops — compute each ONCE, batched over its genotype list (the
+    # reference recomputes them inside the nested loops,
+    # VariantCaller.cs:198-216; values are identical)
+    _cache = {
+        name: dict(zip(
+            _genotypes_for_cn(segs[name].copy_number),
+            models[name].genotype_log_likelihoods_multi(
+                *trunc[name], _genotypes_for_cn(segs[name].copy_number))))
+        for name in segs}
+
     def gt_ll(name, gt):
-        ca, cb = trunc[name]
-        return models[name].genotype_log_likelihood(ca, cb, gt[0], gt[1])
+        return _cache[name][gt]
 
     for g1 in _genotypes_for_cn(cn1):
         for g2 in _genotypes_for_cn(cn2):

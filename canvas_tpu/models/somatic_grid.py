@@ -453,6 +453,14 @@ def evaluate_grid_device(
 
     jitted = jax.jit(chunk_fn)
 
+    # adapt the model chunk to the segment count: the [chunk, N, P]
+    # distance tensor should stay ~0.5 GB (a few live at once), and over a
+    # tunneled TPU FEWER, LARGER dispatches win — each dispatch pays an RPC
+    # toll that dwarfs the compute at default chunk sizes
+    budget_elems = 120_000_000
+    chunk = max(64, min(1 << (M - 1).bit_length(),
+                        budget_elems // max(1, N * P)))
+
     out = {k: np.zeros(M) for k in
            ("deviation", "precision", "accuracy", "ploidy", "percent_cn2",
             "percent_normal", "diploid_distance", "het_index")}

@@ -216,3 +216,17 @@ def test_batched_joint_likelihood_device_path(rng):
     for x, y in zip(a, b):
         assert x.best == y.best
         assert x.total_marginal == pytest.approx(y.total_marginal, rel=1e-5)
+
+
+def test_genotype_log_likelihoods_multi_matches_scalar(rng):
+    model = ped.CopyNumberModel(5, 200, 100.0, 50.0)
+    ca = rng.integers(0, 80, size=12).astype(np.int64)
+    cb = rng.integers(0, 80, size=12).astype(np.int64)
+    gts = [(a, b) for a in range(5) for b in range(5) if a + b < 5]
+    batch = model.genotype_log_likelihoods_multi(ca, cb, gts)
+    for k, (a, b) in enumerate(gts):
+        assert batch[k] == pytest.approx(
+            model.genotype_log_likelihood(ca, cb, a, b), rel=1e-12, abs=1e-12)
+    assert np.array_equal(
+        model.genotype_log_likelihoods_multi(np.zeros(0), np.zeros(0), gts),
+        np.zeros(len(gts)))
