@@ -62,11 +62,20 @@ def evaluate_grid(
     if backend is None:
         import jax
 
-        backend = "numpy" if jax.default_backend() == "cpu" else "jax"
+        from canvas_tpu.config import session_ready
+
+        # device path only when the (possibly tunneled) session is already
+        # open — dispatching genome-scale work at an unopened session can
+        # stall for minutes with no hedge here
+        backend = ("jax" if jax.default_backend() != "cpu" and session_ready()
+                   else "numpy")
     if backend == "jax":
-        return evaluate_grid_device(
-            coverages, purities, infos, ploidies, coverage_weight,
-            genome_length, cluster_ids, n_clusters, mean_coverage, chunk)
+        try:
+            return evaluate_grid_device(
+                coverages, purities, infos, ploidies, coverage_weight,
+                genome_length, cluster_ids, n_clusters, mean_coverage, chunk)
+        except Exception:   # device trouble -> exact float64 host oracle
+            pass
     return evaluate_grid_numpy(
         coverages, purities, infos, ploidies, coverage_weight,
         genome_length, cluster_ids, n_clusters, mean_coverage, chunk)

@@ -312,7 +312,9 @@ def _device_ref_tracks(possible: np.ndarray, is_gc: np.ndarray, pad: int,
     total = int(np.count_nonzero(p))
     dp = jax.device_put(pack_tracks_rows(p), device)
     dg = jax.device_put(pack_tracks_rows(g), device)
-    if len(_DEVICE_TRACKS) >= 64:  # bound host+HBM held by the cache
+    # bound host+HBM held by the cache; the cap must cover
+    # contigs x local devices (24 x 8 = 192 on an 8-chip host)
+    if len(_DEVICE_TRACKS) >= 256:
         _DEVICE_TRACKS.pop(next(iter(_DEVICE_TRACKS)))
     _DEVICE_TRACKS[key] = (possible, pad, dp, dg, total)
     return dp, dg, total
