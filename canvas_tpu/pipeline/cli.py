@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--control-bams", nargs="*", default=None,
                        help="control/panel-of-normals BAMs merged into the "
                             "reference track (CanvasNormalize)")
+        s.add_argument("--control-binned", default=None,
+                       help="precomputed control .binned file to use for "
+                            "normalization (exclusive with --control-bams)")
+        s.add_argument("--control-ploidy-vcf", default=None,
+                       help="regions of known ploidy for the control "
+                            ".binned data")
         s.add_argument("--pca-model-file", default=None,
                        help="PCA normalization model (gz TSV: chrom start "
                             "stop mean axis1..axisN)")
@@ -150,12 +156,20 @@ def main(argv=None) -> int:
                   "running whole-genome binning", file=sys.stderr)
         if args.normalize_mode:
             config.normalize_mode = args.normalize_mode
+        if args.control_bams and (args.control_binned
+                                  or args.control_ploidy_vcf):
+            # SomaticEnrichmentModeParser.cs:81-84
+            print("--control-bams cannot be combined with --control-binned/"
+                  "--control-ploidy-vcf", file=sys.stderr)
+            return 2
         ctrl = [runner.Sample(f"{args.sample_name}_C{i}", b)
                 for i, b in enumerate(args.control_bams or [])]
         out = runner.somatic_wgs(ctx, tumor, normal,
                                  somatic_vcf=args.somatic_vcf,
                                  manifest_path=manifest,
                                  controls=ctrl,
+                                 control_binned=args.control_binned,
+                                 control_ploidy_vcf=args.control_ploidy_vcf,
                                  pca_model_file=args.pca_model_file)
     else:  # SmallPedigree-WGS
         if len(args.bams) != len(args.names) or len(args.bams) != len(args.types):

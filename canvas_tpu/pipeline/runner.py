@@ -636,6 +636,8 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
                 somatic_vcf: str | None = None,
                 manifest_path: str | None = None,
                 controls: list[Sample] | None = None,
+                control_binned: str | None = None,
+                control_ploidy_vcf: str | None = None,
                 pca_model_file: str | None = None) -> Path:
     """Somatic-WGS (wavelets) / Somatic-Enrichment (manifest bins + CBS +
     smoothing): bin -> [T/N(panel) ratio] -> clean -> partition -> somatic
@@ -660,9 +662,14 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
         else:
             t_bins, t_bs = run_bin(ctx, tumor)
     work_bins = t_bins
-    if all_controls or pca_model_file:
+    if all_controls or pca_model_file or control_binned:
         with prof.stage("CanvasNormalize"):
             c_bins: list[BinSet] = []
+            if control_binned:
+                # precomputed Canvas control .binned data
+                # (SomaticEnrichmentModeParser ControlBinned ->
+                # Manifest.CanvasControlBinnedPath, CanvasRunner.cs:501-505)
+                c_bins.append(BinSet.read_text(control_binned, ctx.contigs))
             for c in all_controls:
                 if is_enrichment:
                     cb = run_bin_predefined(ctx, c, manifest)
@@ -693,8 +700,11 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
             ratio.write_cnd_file(
                 t_bins, reference, ratios,
                 Path(ctx.output_dir) / f"{tumor.name}.cnd")
+            ref_ploidy = ploidy
+            if ref_ploidy is None and control_ploidy_vcf:
+                ref_ploidy = load_ploidy_vcf(control_ploidy_vcf)
             work_bins = ratio.ratios_to_counts(
-                ratios, _bin_ploidy_array(ratios, ploidy))
+                ratios, _bin_ploidy_array(ratios, ref_ploidy))
     with prof.stage("CanvasClean", bins=len(work_bins)):
         work, local_sd = run_clean(ctx, tumor, work_bins,
                                    compute_local_sd=not is_enrichment)

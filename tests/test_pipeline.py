@@ -423,3 +423,43 @@ def test_interop_stage_outputs(reference_dir, tmp_path):
     from canvas_tpu.ops.segments import read_partitioned
     rows = read_partitioned(ck.path("sx.partitioned"))
     assert "chr1" in rows and len(rows["chr1"][0]) > 10
+
+
+def test_somatic_enrichment_control_binned(reference_dir, tmp_path):
+    """--control-binned: a precomputed control .binned file feeds
+    normalization instead of control BAMs (SomaticEnrichmentModeParser
+    ControlBinned -> CanvasRunner.cs:501-505)."""
+    bam_path = tmp_path / "t.bam"
+    make_bam(bam_path, np.random.default_rng(21),
+             {"chr1": [(80_000, 140_000, 4)]})
+    manifest = tmp_path / "targets.txt"
+    rows = ["#Nextera manifest", "[Header]", "[Regions]",
+            "Name\tChromosome\tStart\tEnd"]
+    for c in ("chr1", "chr2"):
+        for s in range(10_000, L - 10_000, 3000):
+            rows.append(f"r\t{c}\t{s + 1}\t{s + 1500}")
+    manifest.write_text("\n".join(rows) + "\n")
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "o1"))
+    from canvas_tpu.io.manifest import Manifest
+    control = runner.Sample("ctrl", str(bam_path))
+    # produce a control .binned via a normal control run, then reuse it
+    cb = runner.run_bin_predefined(ctx, control, Manifest.read(manifest))
+    binned = tmp_path / "control.binned"
+    cb.write_text(binned)
+
+    from canvas_tpu.pipeline.cli import main
+    rc = main(["Somatic-Enrichment", "-b", str(bam_path), "-n", "tum",
+               "-r", str(reference_dir), "-o", str(tmp_path / "o2"),
+               "--manifest", str(manifest),
+               "--control-binned", str(binned)])
+    assert rc == 0
+    assert (tmp_path / "o2" / "tum_CNV.vcf.gz").exists()
+    # mutual exclusion enforced
+    rc = main(["Somatic-Enrichment", "-b", str(bam_path), "-n", "tum2",
+               "-r", str(reference_dir), "-o", str(tmp_path / "o3"),
+               "--manifest", str(manifest),
+               "--control-bams", str(bam_path),
+               "--control-binned", str(binned)])
+    assert rc == 2
