@@ -151,6 +151,23 @@ class BamFile:
             off += 8 + l_name
         return cls(refs, data, off)
 
+    @classmethod
+    def read_sample_name(cls, path: str | Path) -> str | None:
+        """SM tag from the first @RG header line (the reference defaults a
+        pedigree sample's name to the RG SM tag,
+        SmallPedigreeOptionsParser.cs:31-45)."""
+        data = bgzf_decompress(path)
+        if data[:4] != BAM_MAGIC:
+            raise ValueError("not a BAM file")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        text = data[8: 8 + l_text].decode(errors="replace")
+        for line in text.splitlines():
+            if line.startswith("@RG"):
+                for field in line.split("\t"):
+                    if field.startswith("SM:"):
+                        return field[3:]
+        return None
+
     def ref_index(self, name: str) -> int:
         for i, (n, _) in enumerate(self.refs):
             if n == name:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 from canvas_tpu.pipeline import runner
 
@@ -89,11 +90,25 @@ def build_parser() -> argparse.ArgumentParser:
         _common(s)
 
     sp = sub.add_parser("SmallPedigree-WGS")
-    sp.add_argument("--bams", nargs="+", required=True)
-    sp.add_argument("--names", nargs="+", required=True)
-    sp.add_argument("--types", nargs="+", required=True,
+    sp.add_argument("--bams", nargs="+", default=None)
+    sp.add_argument("--names", nargs="+", default=None)
+    sp.add_argument("--types", nargs="+", default=None,
                     help="Father/Mother/Proband/Sibling/Other per sample")
+    # reference-style aliases (README demo / SmallPedigreeOptionsParser):
+    # repeated --bam with --mother/--father/--proband selecting by name
+    sp.add_argument("--bam", action="append", default=None,
+                    help="repeatable; sample name from the RG SM tag "
+                         "(reference-style alternative to --bams/--names)")
+    sp.add_argument("--mother", default=None,
+                    help="sample name of the mother (with --bam)")
+    sp.add_argument("--father", default=None,
+                    help="sample name of the father (with --bam)")
+    sp.add_argument("--proband", default=None,
+                    help="sample name of the proband (with --bam)")
     sp.add_argument("--b-allele-vcfs", nargs="*", default=None)
+    sp.add_argument("--sample-b-allele-vcf", default=None,
+                    help="one multisample VCF of b-allele sites; each "
+                         "sample reads its own genotype column")
     sp.add_argument("--population-b-allele-vcf", default=None,
                     help="dbSNP-style population SNV sites used for every "
                          "sample (exclusive with --b-allele-vcfs)")
@@ -172,20 +187,58 @@ def main(argv=None) -> int:
                                  control_ploidy_vcf=args.control_ploidy_vcf,
                                  pca_model_file=args.pca_model_file)
     else:  # SmallPedigree-WGS
-        if len(args.bams) != len(args.names) or len(args.bams) != len(args.types):
-            print("--bams/--names/--types must have the same length",
+        if args.bam and args.bams:
+            print("use either --bam (reference style) or --bams, not both",
                   file=sys.stderr)
             return 2
-        if pop_vcf and args.b_allele_vcfs:
-            print("--b-allele-vcfs and --population-b-allele-vcf are "
-                  "mutually exclusive", file=sys.stderr)
+        multisample_vcf = None
+        if args.bam:
+            # reference-style: names from RG SM tags (or file stems), roles
+            # by --mother/--father/--proband name match
+            # (SmallPedigreeOptionsParser.cs:31-45, README demo)
+            from canvas_tpu.io.bam import BamFile
+
+            bams = args.bam
+            names = []
+            for b in bams:
+                sm = None
+                try:
+                    sm = BamFile.read_sample_name(b)
+                except Exception:
+                    pass
+                names.append(sm or Path(b).stem)
+            roles = {args.mother: "Mother", args.father: "Father",
+                     args.proband: "Proband"}
+            types = [roles.get(n, "Other") for n in names]
+            multisample_vcf = args.sample_b_allele_vcf
+        else:
+            if not args.bams or not args.names or not args.types:
+                print("SmallPedigree-WGS needs --bams/--names/--types or "
+                      "reference-style --bam ... --mother/--father/--proband",
+                      file=sys.stderr)
+                return 2
+            if len(args.bams) != len(args.names) \
+                    or len(args.bams) != len(args.types):
+                print("--bams/--names/--types must have the same length",
+                      file=sys.stderr)
+                return 2
+            bams, names, types = args.bams, args.names, args.types
+            multisample_vcf = args.sample_b_allele_vcf
+        if pop_vcf and (args.b_allele_vcfs or multisample_vcf):
+            print("--b-allele-vcfs/--sample-b-allele-vcf and "
+                  "--population-b-allele-vcf are mutually exclusive",
+                  file=sys.stderr)
             return 2
-        vcfs = args.b_allele_vcfs or [pop_vcf] * len(args.bams)
+        if multisample_vcf:
+            vcfs = [multisample_vcf] * len(bams)
+        else:
+            vcfs = args.b_allele_vcfs or [pop_vcf] * len(bams)
         samples = [
             runner.Sample(n, b, sample_type=t, normal_vcf=v,
                           ploidy_vcf=args.ploidy_vcf,
-                          is_dbsnp_vcf=bool(pop_vcf))
-            for n, b, t, v in zip(args.names, args.bams, args.types, vcfs)]
+                          is_dbsnp_vcf=bool(pop_vcf),
+                          vcf_sample_name=(n if multisample_vcf else None))
+            for n, b, t, v in zip(names, bams, types, vcfs)]
         out = runner.small_pedigree_wgs(
             ctx, samples, common_cnvs_bed=args.common_cnvs_bed)
     print(f"CNV calls written to {out}")

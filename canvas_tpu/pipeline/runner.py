@@ -85,6 +85,9 @@ class Sample:
     # --population-b-allele-vcf (dbSNP sites; no genotype filtering,
     # SingleSampleCommonOptionsParser.cs:8-13 + SNVReviewer IsDbSnpVcf)
     is_dbsnp_vcf: bool = False
+    # genotype column to use when normal_vcf is a multisample VCF (the
+    # reference passes a single pedigree VCF to every sample's CanvasSNV)
+    vcf_sample_name: str | None = None
 
 
 @dataclass
@@ -336,6 +339,7 @@ def run_snv(ctx: WorkflowContext, sample: Sample,
         return out
     by_chrom = snvio.load_het_snvs_multi(sample.normal_vcf,
                                          list(ctx.canonical),
+                                         sample_name=sample.vcf_sample_name,
                                          is_somatic=is_somatic,
                                          is_dbsnp=sample.is_dbsnp_vcf)
     if not snvio.pileup_counts_native(sample.bam_path, by_chrom):

@@ -463,3 +463,42 @@ def test_somatic_enrichment_control_binned(reference_dir, tmp_path):
                "--control-bams", str(bam_path),
                "--control-binned", str(binned)])
     assert rc == 2
+
+
+def test_cli_small_pedigree_reference_style(reference_dir, tmp_path):
+    """Reference-style CLI: repeated --bam with --mother/--father/--proband
+    name selectors and one multisample --sample-b-allele-vcf (README demo
+    syntax + SmallPedigreeOptionsParser.cs)."""
+    import gzip as _gzip
+
+    names = ["father", "mother", "child1"]
+    bams = []
+    for name in names:
+        bam = tmp_path / f"{name}.bam"
+        make_bam(bam, np.random.default_rng(31), {})
+        bams.append(bam)
+    # multisample b-allele VCF with one genotype column per sample
+    vcf = tmp_path / "Pedigree.vcf"
+    rng = np.random.default_rng(4)
+    lines = ["##fileformat=VCFv4.1",
+             "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+             + "\t".join(names)]
+    for pos in sorted(rng.integers(1000, L - 1000, size=120).tolist()):
+        gts = "\t".join("0/1" for _ in names)
+        lines.append(f"chr1\t{pos}\t.\tA\tC\t50\tPASS\t.\tGT\t{gts}")
+    vcf.write_text("\n".join(lines) + "\n")
+
+    from canvas_tpu.pipeline.cli import main
+    rc = main(["SmallPedigree-WGS",
+               "--bam", str(bams[0]), "--bam", str(bams[1]),
+               "--bam", str(bams[2]),
+               "--mother", "mother", "--father", "father",
+               "--proband", "child1",
+               "--sample-b-allele-vcf", str(vcf),
+               "-r", str(reference_dir), "-o", str(tmp_path / "po")])
+    assert rc == 0
+    out = tmp_path / "po" / "CNV.vcf.gz"
+    assert out.exists()
+    header = _gzip.open(out, "rt").read()
+    # sample columns named from the BAM-derived names, proband last given
+    assert "father\tmother\tchild1" in header
