@@ -50,7 +50,7 @@ def evaluate_grid(
     cluster_ids: np.ndarray | None = None,
     n_clusters: int = 0,
     mean_coverage: float | None = None,
-    chunk: int = 256,
+    chunk: int | None = None,
     backend: str | None = None,
 ):
     """Evaluate every model.  Returns dict of [M] arrays:
@@ -78,7 +78,8 @@ def evaluate_grid(
             pass
     return evaluate_grid_numpy(
         coverages, purities, infos, ploidies, coverage_weight,
-        genome_length, cluster_ids, n_clusters, mean_coverage, chunk)
+        genome_length, cluster_ids, n_clusters, mean_coverage,
+        chunk if chunk is not None else 256)
 
 
 def evaluate_grid_numpy(
@@ -280,7 +281,7 @@ def evaluate_grid_device(
     cluster_ids: np.ndarray | None = None,
     n_clusters: int = 0,
     mean_coverage: float | None = None,
-    chunk: int = 256,
+    chunk: int | None = None,
 ):
     """Device tensor path: the [models, segments, points] distance tensor
     and both ModelDeviation passes run as one jitted computation per model
@@ -462,13 +463,14 @@ def evaluate_grid_device(
 
     jitted = jax.jit(chunk_fn)
 
-    # adapt the model chunk to the segment count: the [chunk, N, P]
-    # distance tensor should stay ~0.5 GB (a few live at once), and over a
-    # tunneled TPU FEWER, LARGER dispatches win — each dispatch pays an RPC
-    # toll that dwarfs the compute at default chunk sizes
-    budget_elems = 120_000_000
-    chunk = max(64, min(1 << (M - 1).bit_length(),
-                        budget_elems // max(1, N * P)))
+    if chunk is None:
+        # adapt the model chunk to the segment count: the [chunk, N, P]
+        # distance tensor should stay ~0.5 GB (a few live at once), and
+        # over a tunneled TPU FEWER, LARGER dispatches win — each dispatch
+        # pays an RPC toll that dwarfs the compute at default chunk sizes
+        budget_elems = 120_000_000
+        chunk = max(64, min(1 << (M - 1).bit_length(),
+                            budget_elems // max(1, N * P)))
 
     out = {k: np.zeros(M) for k in
            ("deviation", "precision", "accuracy", "ploidy", "percent_cn2",

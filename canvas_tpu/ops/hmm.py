@@ -750,8 +750,11 @@ def segment_coverage_joint_batched(
     — the same lane batching as PerSampleHMM, sharded over the mesh when
     more than one device is visible."""
     names = list(coverage_by_contig)
-    lengths = {n: np.atleast_2d(np.asarray(coverage_by_contig[n])).shape[0]
-               for n in names}
+    lengths = {}
+    for n in names:
+        arr = np.asarray(coverage_by_contig[n])
+        # 1-D input = single-sample [T]; 2-D = [T, D]
+        lengths[n] = arr.shape[0] if arr.ndim > 1 else len(arr)
     live = [n for n in names if lengths[n] > min_size]
     out: dict[str, list[int]] = {n: [0] for n in names if n not in live}
     if not live:

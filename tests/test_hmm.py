@@ -194,3 +194,11 @@ def test_joint_batched_matches_percontig(rng):
     percontig = hmm.segment_coverage(cov, per_sample=False)
     assert batched == percontig
     assert all(len(b) >= 2 for b in batched.values())
+
+
+def test_joint_batched_accepts_1d_input(rng):
+    cov1 = rng.poisson(100, size=500).astype(np.float64)
+    cov1[100:200] *= 2
+    a = hmm.segment_coverage_joint_batched({"chr1": cov1})
+    b = hmm.segment_coverage_joint_batched({"chr1": cov1[:, None]})
+    assert a == b and len(a["chr1"]) >= 2
