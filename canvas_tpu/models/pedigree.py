@@ -465,12 +465,19 @@ def pedigree_joint_likelihood_batched(
         return keyed, present
 
     if use_device is None:
-        use_device = jax.default_backend() != "cpu"
+        from canvas_tpu.config import session_ready
+
+        # device only when the (possibly tunneled) session is open; the
+        # float64 numpy path is exact and fast enough as the fallback
+        use_device = jax.default_backend() != "cpu" and session_ready()
     if use_device:
-        keyed, present = jax.jit(compute)(
-            jnp.asarray(parent_liks), jnp.asarray(child_liks))
-        keyed, present = np.asarray(keyed), np.asarray(present)
-    else:
+        try:
+            keyed, present = jax.jit(compute)(
+                jnp.asarray(parent_liks), jnp.asarray(child_liks))
+            keyed, present = np.asarray(keyed), np.asarray(present)
+        except Exception:
+            use_device = False
+    if not use_device:
         keyed, present = compute_np(np.asarray(parent_liks, np.float64),
                                     np.asarray(child_liks, np.float64))
 
