@@ -29,6 +29,7 @@ scan for the backtrack.  Lanes (contigs × samples) batch on the leading axis.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from itertools import permutations as _permutations
 
@@ -574,34 +575,69 @@ _emission_decode_batched = partial(
                               "use_pallas"))(_emission_decode_core)
 
 
-def _emission_decode_sharded(cov, mask, logt, lt, li, chunk, interpret,
-                             use_pallas, mesh):
-    """Lane-sharded decode: contigs split over the mesh's 'contig' axis
-    (the TPU answer to the reference's process-per-chromosome fan-out,
-    CanvasRunner.cs:333-389).  Each device decodes B/n lanes; the emission
-    tables are replicated.  Lanes are independent so no collectives are
-    needed inside; shard_map keeps the Pallas kernel per-device."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+def _shard_map_lanes(core, mesh, n_lane_args: int):
+    """shard_map `core` with its first n_lane_args args split over the
+    mesh's 'contig' axis and the rest replicated.  Lanes are independent
+    (no collectives inside); scan carries start from replicated constants,
+    so the varying-axis (replication) check must be off.  jax >= 0.7 names
+    it check_vma, older check_rep."""
+    from jax.sharding import PartitionSpec as P
 
-    # lanes are independent (no collectives inside); scan carries start
-    # from replicated constants, so the varying-axis (replication) check
-    # must be off.  jax >= 0.7 names it check_vma, older check_rep.
-    core = partial(_emission_decode_core, lt=lt, li=li, chunk=chunk,
-                   interpret=interpret, use_pallas=use_pallas)
-    specs = dict(mesh=mesh, in_specs=(P("contig"), P("contig"), P()),
-                 out_specs=P("contig"))
+    in_specs = (P("contig"),) * n_lane_args + (P(),)
+    specs = dict(mesh=mesh, in_specs=in_specs, out_specs=P("contig"))
     try:
-        fn = jax.shard_map(core, check_vma=False, **specs)
+        return jax.shard_map(core, check_vma=False, **specs)
     except TypeError:                      # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
-        fn = shard_map(core, check_rep=False, **specs)
+        return shard_map(core, check_rep=False, **specs)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_decode_fn(mesh_devices, lt, li, chunk, interpret, use_pallas):
+    """Cached jitted shard-mapped decode — rebuilding shard_map + jit per
+    call would retrace the genome-scale program for every sample."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(mesh_devices), ("contig",))
+    core = partial(_emission_decode_core, lt=lt, li=li, chunk=chunk,
+                   interpret=interpret, use_pallas=use_pallas)
+    return mesh, jax.jit(_shard_map_lanes(core, mesh, 2))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_decode_em_fn(mesh_devices, lt, li, chunk):
+    """Cached jitted shard-mapped chunked Viterbi over precomputed
+    emissions (the joint multi-sample path)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(mesh_devices), ("contig",))
+
+    def core(em, mask, log_trans_init):
+        log_trans = log_trans_init[:-1]
+        log_init = log_trans_init[-1]
+        return viterbi_decode_chunked(em, log_trans, log_init, mask,
+                                      chunk=chunk)
+
+    return mesh, jax.jit(_shard_map_lanes(core, mesh, 2))
+
+
+def _emission_decode_sharded(cov, mask, logt, lt, li, chunk, interpret,
+                             use_pallas, n_dev):
+    """Lane-sharded decode: contigs split over the mesh's 'contig' axis
+    (the TPU answer to the reference's process-per-chromosome fan-out,
+    CanvasRunner.cs:333-389).  Each device decodes B/n lanes; the emission
+    tables are replicated; shard_map keeps the Pallas kernel per-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh, fn = _sharded_decode_fn(tuple(jax.devices()[:n_dev]), lt, li,
+                                  chunk, interpret, use_pallas)
     lane = NamedSharding(mesh, P("contig"))
     repl = NamedSharding(mesh, P())
     cov = jax.device_put(cov, lane)
     mask = jax.device_put(mask, lane)
     logt = jax.device_put(logt, repl)
-    return jax.jit(fn)(cov, mask, logt)
+    return fn(cov, mask, logt)
 
 
 def _next_pow2(n: int) -> int:
@@ -679,12 +715,9 @@ def segment_coverage_batched(
     interpret = jax.default_backend() == "cpu"
 
     if n_dev > 1 and B % n_dev == 0:
-        from canvas_tpu.parallel.mesh import make_mesh
-
         paths_dev = _emission_decode_sharded(
             jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(logt),
-            lt, li, chunk, interpret, use_pallas,
-            make_mesh(n_dev, axes=("contig",)))
+            lt, li, chunk, interpret, use_pallas, n_dev)
     else:
         paths_dev = _emission_decode_batched(
             jnp.asarray(cov), jnp.asarray(mask), jnp.asarray(logt),
@@ -724,8 +757,10 @@ def _emission_log_probs_np(cov: np.ndarray, tables: np.ndarray,
         logt[0] = logt[1] = g01
         logt[3] = logt[4] = g34
     idx = np.clip(np.rint(cov).astype(np.int64), 0, V - 1)      # [T, D]
-    factor = logt[:, np.arange(D)[None, :], idx[:, None, :]]    # [T, S, D]
-    factor = np.transpose(factor, (0, 1, 2))
+    T = idx.shape[0]
+    factor = np.empty((T, S, D))                                # [T, S, D]
+    for d in range(D):
+        factor[:, :, d] = logt[:, d, idx[:, d]].T
     ems = []
     for j in range(S):
         combos = np.array(genotype_combinations(D, j))           # [G, D]
@@ -791,8 +826,22 @@ def segment_coverage_joint_batched(
     log_trans = log_transition(n_states)
     log_init = np.log(np.full(n_states, 1.0 / n_states, np.float32))
 
-    paths_dev = viterbi_decode_chunked(
-        em, jnp.asarray(log_trans), jnp.asarray(log_init), mask, chunk=chunk)
+    if n_dev > 1 and B % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        lt = tuple(tuple(float(v) for v in row) for row in log_trans)
+        li = tuple(float(v) for v in log_init)
+        mesh, fn = _sharded_decode_em_fn(tuple(jax.devices()[:n_dev]),
+                                         lt, li, chunk)
+        lane = NamedSharding(mesh, P("contig"))
+        repl = NamedSharding(mesh, P())
+        trans_init = np.concatenate([log_trans, log_init[None]], axis=0)
+        paths_dev = fn(jax.device_put(em, lane), jax.device_put(mask, lane),
+                       jax.device_put(jnp.asarray(trans_init), repl))
+    else:
+        paths_dev = viterbi_decode_chunked(
+            em, jnp.asarray(log_trans), jnp.asarray(log_init), mask,
+            chunk=chunk)
 
     def fetch():
         return np.asarray(paths_dev)

@@ -61,25 +61,40 @@ def my_contigs(contig_lengths: dict[str, int]) -> list[str]:
                          jax.process_index())
 
 
-def all_gather_host_data(local: dict[str, np.ndarray]
-                         ) -> dict[str, np.ndarray]:
+def all_gather_host_data(
+    local: dict[str, np.ndarray],
+    shapes: dict[str, tuple[int, np.dtype]] | None = None,
+) -> dict[str, np.ndarray]:
     """Share per-contig host arrays across processes.
 
-    Single-process: identity.  Multi-process: each host contributes the
-    contigs it scanned; jax.experimental.multihost_utils broadcasts through
-    device all-gather (the TPU-native replacement for the reference's
-    per-chromosome intermediate-file merge, CanvasBin.cs:965-1035)."""
+    Single-process: identity.  Multi-process: every process walks the SAME
+    global contig list (process_allgather is a collective — mismatched
+    pytrees deadlock), contributing zeros for contigs it did not scan; the
+    owner's values survive an elementwise max (counts are non-negative and
+    exactly one process owns each contig).  One gather per contig bounds
+    peak memory at n_processes x largest contig instead of x genome.  This
+    is the TPU-native replacement for the reference's per-chromosome
+    intermediate-file merge (CanvasBin.cs:965-1035).
+
+    shapes: contig -> (length, dtype) for ALL contigs, identical on every
+    process; required in multi-process mode."""
     import jax
 
     if jax.process_count() == 1:
-        return local
+        return dict(local)
+    if shapes is None:
+        raise ValueError(
+            "all_gather_host_data needs the global contig shapes in "
+            "multi-process mode")
     from jax.experimental import multihost_utils
 
-    # names must be agreed upon globally; gather (name -> array) pairs
-    gathered = multihost_utils.process_allgather(local)
     out: dict[str, np.ndarray] = {}
-    for per_process in ([gathered] if isinstance(gathered, dict)
-                        else gathered):
-        for name, arr in per_process.items():
-            out[name] = np.asarray(arr)
+    for name in sorted(shapes):
+        length, dtype = shapes[name]
+        arr = local.get(name)
+        buf = (np.zeros(length, dtype) if arr is None
+               else np.ascontiguousarray(arr, dtype))
+        gathered = np.asarray(
+            multihost_utils.process_allgather(buf))    # [n_proc, length]
+        out[name] = gathered.max(axis=0).astype(dtype, copy=False)
     return out

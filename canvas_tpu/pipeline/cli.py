@@ -207,8 +207,21 @@ def main(argv=None) -> int:
                 except Exception:
                     pass
                 names.append(sm or Path(b).stem)
+            # unknown role names must fail loudly, not silently demote the
+            # pedigree to 'Other' samples (the reference parser resolves
+            # roles by sample name and errors on mismatches)
+            for role, value in (("--mother", args.mother),
+                                ("--father", args.father),
+                                ("--proband", args.proband)):
+                if value is not None and value not in names:
+                    print(f"{role}={value} does not match any sample name "
+                          f"derived from the BAMs ({', '.join(names)}); "
+                          f"names come from the @RG SM tag or file stem",
+                          file=sys.stderr)
+                    return 2
             roles = {args.mother: "Mother", args.father: "Father",
                      args.proband: "Proband"}
+            roles.pop(None, None)
             types = [roles.get(n, "Other") for n in names]
             multisample_vcf = args.sample_b_allele_vcf
         else:

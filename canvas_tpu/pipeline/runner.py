@@ -266,7 +266,9 @@ def run_bin(ctx: WorkflowContext, sample: Sample,
                 mine = distributed.my_contigs(
                     {c: ctx.contigs.length(c) for c in ctx.canonical})
                 local = ingest_observed(ctx, sample, contigs=mine)
-                obs = distributed.all_gather_host_data(local)
+                obs = distributed.all_gather_host_data(
+                    local, shapes={c: (ctx.contigs.length(c), np.uint8)
+                                   for c in ctx.canonical})
             else:
                 obs = ingest_observed(ctx, sample)
         bs = bin_size or ctx.config.fixed_bin_size or \

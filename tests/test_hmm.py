@@ -202,3 +202,19 @@ def test_joint_batched_accepts_1d_input(rng):
     a = hmm.segment_coverage_joint_batched({"chr1": cov1})
     b = hmm.segment_coverage_joint_batched({"chr1": cov1[:, None]})
     assert a == b and len(a["chr1"]) >= 2
+
+
+def test_emission_log_probs_np_matches_device(rng):
+    """The joint-HMM host oracle must agree with the device emission path
+    (it is the race_fetch fallback on a stalled TPU link)."""
+    import jax.numpy as jnp
+
+    for D in (1, 2, 3):
+        cov = rng.poisson(100, size=(80, D)).astype(np.float64)
+        tables, _, clamped = hmm.build_emission_tables(cov)
+        host = hmm._emission_log_probs_np(clamped, tables,
+                                          use_all_states=False)
+        dev = np.asarray(hmm.emission_log_probs(
+            jnp.asarray(clamped, jnp.float32)[None], tables,
+            jnp.ones((1, 80), bool), use_all_states=False))[0]
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)

@@ -93,3 +93,35 @@ def test_sharding_kill_switch():
         assert not meshmod.sharding_enabled()
     finally:
         del os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"]
+
+
+def test_all_gather_host_data_multiprocess_semantics(monkeypatch):
+    """Multi-process combine: every process walks the same global contig
+    list, non-owners contribute zeros, elementwise max recovers the
+    owner's counts (fake 2-process gather)."""
+    import canvas_tpu.parallel.distributed as dist
+
+    class FakeJax:
+        @staticmethod
+        def process_count():
+            return 2
+
+    other = {"chr1": np.zeros(5, np.uint8),
+             "chr2": np.array([7, 8, 9], np.uint8)}
+
+    def fake_allgather(buf):
+        # simulate the second process's contribution for this contig
+        peer = other["chr1"] if len(buf) == 5 else other["chr2"]
+        return np.stack([buf, peer])
+
+    monkeypatch.setattr("jax.process_count", FakeJax.process_count)
+    import jax.experimental.multihost_utils as mh
+    monkeypatch.setattr(mh, "process_allgather", fake_allgather)
+
+    local = {"chr1": np.array([1, 2, 3, 4, 5], np.uint8)}
+    shapes = {"chr1": (5, np.uint8), "chr2": (3, np.uint8)}
+    out = dist.all_gather_host_data(local, shapes)
+    assert np.array_equal(out["chr1"], [1, 2, 3, 4, 5])
+    assert np.array_equal(out["chr2"], [7, 8, 9])
+    with pytest.raises(ValueError):
+        dist.all_gather_host_data(local, None)
