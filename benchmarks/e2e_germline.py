@@ -41,7 +41,8 @@ def build_inputs(cache: Path, mbp: int, rate: float, hg: bool = False):
     key = cache / (f"hg{mbp}_r{rate}" if hg else f"g{mbp}_r{rate}")
     ref_dir, bam = key / "ref", key / "sample.bam"
     plan_file = key / "plan.json"
-    if bam.exists() and (ref_dir / "kmer.fa").exists():
+    done = key / "done"
+    if done.exists() and bam.exists() and (ref_dir / "kmer.fa").exists():
         return ref_dir, bam, json.loads(plan_file.read_text())
     shutil.rmtree(key, ignore_errors=True)
     (key / "ref").mkdir(parents=True)
@@ -78,6 +79,8 @@ def build_inputs(cache: Path, mbp: int, rate: float, hg: bool = False):
     print(f"[gen] BAM {total / 1e6:.1f}M reads: {time.time() - t0:.1f}s",
           file=sys.stderr)
     plan_file.write_text(json.dumps(plan))
+    done.write_text("ok\n")   # marks the cache complete (a killed run
+                               # must not leave a truncated BAM behind)
     return ref_dir, bam, plan
 
 
