@@ -85,19 +85,21 @@ static size_t index_blocks(const uint8_t* data, size_t n,
     return pos;
 }
 
-static bool inflate_block(const uint8_t* raw, const Block& b, uint8_t* dst) {
+// zs must be an initialized raw-inflate stream; it is Reset (not
+// re-allocated) per block — inflateInit2/inflateEnd per 64KB BGZF block
+// costs ~10% of the scan in allocator traffic.
+static bool inflate_block(const uint8_t* raw, const Block& b, uint8_t* dst,
+                          z_stream& zs) {
     uint16_t xlen;
     std::memcpy(&xlen, raw + b.raw_offset + 10, 2);
     const uint8_t* payload = raw + b.raw_offset + 12 + xlen;
     size_t payload_len = b.comp_size - 12 - xlen - 8;
-    z_stream zs{};
-    if (inflateInit2(&zs, -15) != Z_OK) return false;
+    if (inflateReset(&zs) != Z_OK) return false;
     zs.next_in = const_cast<uint8_t*>(payload);
     zs.avail_in = static_cast<uInt>(payload_len);
     zs.next_out = dst + b.out_offset;
     zs.avail_out = static_cast<uInt>(b.uncomp_size);
     int rc = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
     return rc == Z_STREAM_END || (rc == Z_OK && zs.avail_out == 0) ||
            (b.uncomp_size == 0);
 }
@@ -166,14 +168,20 @@ class BamStream {
         std::atomic<size_t> next{0};
         std::atomic<bool> ok{true};
         auto worker = [&]() {
+            z_stream zs{};
+            if (inflateInit2(&zs, -15) != Z_OK) {
+                ok.store(false);
+                return;
+            }
             for (;;) {
                 size_t i = next.fetch_add(1);
                 if (i >= blocks.size()) break;
                 if (blocks[i].uncomp_size == 0) continue;
                 if (!inflate_block(raw_.data(), blocks[i],
-                                   dec_.data() + base))
+                                   dec_.data() + base, zs))
                     ok.store(false);
             }
+            inflateEnd(&zs);
         };
         int nt = nt_ > static_cast<int>(blocks.size())
                      ? static_cast<int>(blocks.size())
