@@ -47,18 +47,29 @@ def synth_positions(rng, length: int, rate: float,
     return np.repeat(np.arange(length, dtype=np.int64), counts)
 
 
+def _bgzf_block(chunk: bytes) -> bytes:
+    comp = zlib.compress(chunk, 1)[2:-4]   # strip zlib wrapper
+    bsize = len(comp) + 25  # BSIZE = 18B header + data + 8B footer - 1
+    return (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00"
+            b"BC\x02\x00" + struct.pack("<H", bsize) + comp
+            + struct.pack("<I", zlib.crc32(chunk))
+            + struct.pack("<I", len(chunk)))
+
+
 def _write_bgzf(f, data: bytes) -> None:
-    """Append `data` to an open file as BGZF blocks (<=60000B payloads)."""
+    """Append `data` to an open file as BGZF blocks (<=60000B payloads).
+
+    Blocks compress on a thread pool (zlib releases the GIL) — compression
+    dominates whole-genome BAM generation otherwise."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     mv = memoryview(data)
-    for off in range(0, len(data), 60000):
-        chunk = bytes(mv[off:off + 60000])
-        comp = zlib.compress(chunk, 1)[2:-4]   # strip zlib wrapper
-        bsize = len(comp) + 25  # BSIZE = 18B header + data + 8B footer - 1
-        f.write(b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00"
-                b"BC\x02\x00" + struct.pack("<H", bsize))
-        f.write(comp)
-        f.write(struct.pack("<I", zlib.crc32(chunk)))
-        f.write(struct.pack("<I", len(chunk)))
+    chunks = [bytes(mv[off:off + 60000])
+              for off in range(0, len(data), 60000)]
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
+        for block in ex.map(_bgzf_block, chunks, chunksize=16):
+            f.write(block)
 
 
 def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
