@@ -105,6 +105,11 @@ static bool inflate_block(const uint8_t* raw, const Block& b, uint8_t* dst,
 }
 
 // Streaming BGZF reader: bounded raw window + decoded carry buffer.
+//
+// Decoding is double-buffered: a prefetch thread reads + indexes +
+// inflates window N+1 while the caller walks the records of window N, so
+// the (single-threaded) record walk overlaps the (multi-threaded)
+// inflate instead of alternating with it.
 class BamStream {
   public:
     explicit BamStream(const char* path, int n_threads,
@@ -117,6 +122,7 @@ class BamStream {
         f_ = std::fopen(path, "rb");
     }
     ~BamStream() {
+        join_prefetch();
         if (f_) std::fclose(f_);
     }
     bool ok() const { return f_ != nullptr && !bad_; }
@@ -124,7 +130,7 @@ class BamStream {
     // Ensure >= want decoded-but-unconsumed bytes (unless EOF).  Returns
     // the number available.
     size_t ensure(size_t want) {
-        while (dec_.size() - dec_pos_ < want && !(eof_ && raw_len_ == 0)) {
+        while (dec_.size() - dec_pos_ < want && !drained()) {
             if (!fill()) break;
         }
         return dec_.size() - dec_pos_;
@@ -134,14 +140,18 @@ class BamStream {
     bool failed() const { return bad_; }
 
   private:
-    bool fill() {
-        // compact consumed decoded bytes
-        if (dec_pos_ > 0) {
-            dec_.erase(dec_.begin(),
-                       dec_.begin() + static_cast<ptrdiff_t>(dec_pos_));
-            dec_pos_ = 0;
-        }
-        // top up the raw window
+    // done_ is a fill-side snapshot taken AFTER joining the prefetch
+    // thread; eof_/raw_len_ themselves are owned by the prefetch thread
+    // while it runs and must not be read here concurrently.
+    bool drained() const { return done_; }
+
+    // Runs on the prefetch thread: top up the raw window, index its BGZF
+    // blocks, inflate them in parallel into pf_out_.  Owns raw_/raw_len_/
+    // eof_/f_ while running (fill() joins before touching them).
+    void prefetch_job() {
+        pf_out_.clear();
+        pf_bad_ = false;
+        pf_progressed_ = false;
         if (!eof_) {
             size_t old = raw_len_;
             raw_.resize(old + window_);
@@ -149,22 +159,22 @@ class BamStream {
             raw_len_ = old + got;
             raw_.resize(raw_len_);
             if (got < window_) eof_ = true;
+            if (got > 0) pf_progressed_ = true;
         }
-        if (raw_len_ == 0) return false;
+        if (raw_len_ == 0) return;
         std::vector<Block> blocks;
         size_t out_total = 0;
         bool bad = false;
         size_t consumed = index_blocks(raw_.data(), raw_len_, blocks,
                                        out_total, bad);
         if (bad || (blocks.empty() && eof_)) {
-            if (bad) bad_ = true;
+            if (bad) pf_bad_ = true;
             raw_len_ = 0;
             raw_.clear();
-            return false;
+            return;
         }
-        if (blocks.empty()) return !eof_;
-        size_t base = dec_.size();
-        dec_.resize(base + out_total);
+        if (blocks.empty()) return;  // need a bigger window next round
+        pf_out_.resize(out_total);
         std::atomic<size_t> next{0};
         std::atomic<bool> ok{true};
         auto worker = [&]() {
@@ -177,8 +187,8 @@ class BamStream {
                 size_t i = next.fetch_add(1);
                 if (i >= blocks.size()) break;
                 if (blocks[i].uncomp_size == 0) continue;
-                if (!inflate_block(raw_.data(), blocks[i],
-                                   dec_.data() + base, zs))
+                if (!inflate_block(raw_.data(), blocks[i], pf_out_.data(),
+                                   zs))
                     ok.store(false);
             }
             inflateEnd(&zs);
@@ -191,15 +201,49 @@ class BamStream {
         worker();
         for (auto& th : threads) th.join();
         if (!ok.load()) {
-            bad_ = true;
-            return false;
+            pf_bad_ = true;
+            return;
         }
+        pf_progressed_ = true;
         // keep the unconsumed raw tail
         std::memmove(raw_.data(), raw_.data() + consumed,
                      raw_len_ - consumed);
         raw_len_ -= consumed;
         raw_.resize(raw_len_);
-        return true;
+    }
+
+    void start_prefetch() {
+        pf_running_ = true;
+        pf_thread_ = std::thread([this]() { prefetch_job(); });
+    }
+
+    void join_prefetch() {
+        if (pf_thread_.joinable()) pf_thread_.join();
+    }
+
+    bool fill() {
+        if (!pf_running_) start_prefetch();
+        join_prefetch();
+        pf_running_ = false;
+        if (pf_bad_) {
+            bad_ = true;
+            return false;
+        }
+        bool progressed = pf_progressed_;
+        if (!pf_out_.empty()) {
+            // compact consumed decoded bytes, append the new window
+            if (dec_pos_ > 0) {
+                dec_.erase(dec_.begin(),
+                           dec_.begin() + static_cast<ptrdiff_t>(dec_pos_));
+                dec_pos_ = 0;
+            }
+            dec_.insert(dec_.end(), pf_out_.begin(), pf_out_.end());
+            pf_out_.clear();
+        }
+        // pipeline the next window while the caller walks this one
+        done_ = (eof_ && raw_len_ == 0);
+        if (!done_) start_prefetch();
+        return progressed;
     }
 
     FILE* f_ = nullptr;
@@ -211,6 +255,13 @@ class BamStream {
     bool bad_ = false;
     std::vector<uint8_t> dec_;
     size_t dec_pos_ = 0;
+    bool done_ = false;
+    // prefetch state (owned by the prefetch thread between start/join)
+    std::thread pf_thread_;
+    bool pf_running_ = false;
+    std::vector<uint8_t> pf_out_;
+    bool pf_bad_ = false;
+    bool pf_progressed_ = false;
 };
 
 constexpr uint16_t FLAG_PROPER = 0x2;
