@@ -65,11 +65,14 @@ def _write_bgzf(f, data: bytes) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     mv = memoryview(data)
-    chunks = [bytes(mv[off:off + 60000])
-              for off in range(0, len(data), 60000)]
+    offsets = range(0, len(data), 60000)
+    slab = 512  # bound in-flight chunk copies (~30MB), not the whole buffer
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as ex:
-        for block in ex.map(_bgzf_block, chunks, chunksize=16):
-            f.write(block)
+        for s0 in range(0, len(offsets), slab):
+            chunks = [bytes(mv[off:off + 60000])
+                      for off in list(offsets)[s0:s0 + slab]]
+            for block in ex.map(_bgzf_block, chunks, chunksize=16):
+                f.write(block)
 
 
 def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],

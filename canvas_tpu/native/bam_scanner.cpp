@@ -78,6 +78,10 @@ static size_t index_blocks(const uint8_t* data, size_t n,
         if (pos + bsize > n) break;  // partial block
         uint32_t isize;
         std::memcpy(&isize, data + pos + bsize - 4, 4);
+        if (isize > 65536) {  // BGZF spec caps uncompressed blocks at 64KB
+            bad = true;
+            break;
+        }
         blocks.push_back({pos, bsize, isize, out_total});
         out_total += isize;
         pos += bsize;
@@ -158,7 +162,15 @@ class BamStream {
             size_t got = std::fread(raw_.data() + old, 1, window_, f_);
             raw_len_ = old + got;
             raw_.resize(raw_len_);
-            if (got < window_) eof_ = true;
+            if (got < window_) {
+                eof_ = true;
+                // a short read from an I/O ERROR must not masquerade as
+                // end-of-file (silent partial counts)
+                if (std::ferror(f_)) {
+                    pf_bad_ = true;
+                    return;
+                }
+            }
             if (got > 0) pf_progressed_ = true;
         }
         if (raw_len_ == 0) return;
@@ -168,7 +180,11 @@ class BamStream {
         size_t consumed = index_blocks(raw_.data(), raw_len_, blocks,
                                        out_total, bad);
         if (bad || (blocks.empty() && eof_)) {
-            if (bad) pf_bad_ = true;
+            // at EOF, leftover bytes that cannot form a complete BGZF
+            // block mean the file was truncated — fail instead of
+            // silently dropping the tail (and everything counted so far
+            // looking complete)
+            if (bad || raw_len_ > 0) pf_bad_ = true;
             raw_len_ = 0;
             raw_.clear();
             return;
@@ -214,7 +230,13 @@ class BamStream {
 
     void start_prefetch() {
         pf_running_ = true;
-        pf_thread_ = std::thread([this]() { prefetch_job(); });
+        pf_thread_ = std::thread([this]() {
+            try {
+                prefetch_job();
+            } catch (...) {   // e.g. bad_alloc on a corrupt-size block:
+                pf_bad_ = true;  // surface as an error, don't terminate()
+            }
+        });
     }
 
     void join_prefetch() {

@@ -181,3 +181,31 @@ def test_scan_with_fragments_matches_python(tmp_path, rng):
                                                 mode="GCContentWeighted")
         np.testing.assert_array_equal(obs_n[i], obs_p)
         np.testing.assert_array_equal(frag_n[i], frag_p)
+
+
+def test_truncated_bam_is_an_error(tmp_path, rng):
+    """A BAM truncated mid-file must scan to an error (-1 -> native returns
+    None and the Python fallback takes over), never to silently partial
+    counts."""
+    from canvas_tpu import native
+    from canvas_tpu.io import bam as bamio
+
+    if not native.available():
+        import pytest
+        pytest.skip("native scanner unavailable")
+    p = tmp_path / "t.bam"
+    n = 200_000
+    recs = [bamio.BamRecord(0, int(pos), 50, 0x1 | 0x2, f"r{i}", [(50, "M")],
+                            "A" * 50, np.full(50, 30, np.uint8))
+            for i, pos in enumerate(
+                np.sort(rng.integers(0, 500_000, size=n)))]
+    bamio.write_bam(p, [("chr1", 500_000)], recs)
+    refs = native.read_bam_refs(str(p))
+    full = native.scan_read_starts_all(str(p), [L for _, L in refs])
+    assert full is not None and int(np.sum(full[0].astype(np.int64))) == n
+
+    data = p.read_bytes()
+    trunc = tmp_path / "trunc.bam"
+    trunc.write_bytes(data[: len(data) // 2])
+    out = native.scan_read_starts_all(str(trunc), [L for _, L in refs])
+    assert out is None, "truncated BAM must fail, not return partial counts"
