@@ -544,6 +544,35 @@ def denovo_quality(
     return float(dq)
 
 
+def contains_shared_allele(allele_cn: int, genotype: tuple[int, int]) -> bool:
+    """PhasedGenotype.ContainsSharedAlleleA/B (PhasedGenotype.cs:21-29):
+    an allele copy number is shared when it equals either of the other
+    genotype's allele copy numbers."""
+    return allele_cn == genotype[0] or allele_cn == genotype[1]
+
+
+def genotype_equals(g1: tuple[int, ...], g2: tuple[int, ...]) -> bool:
+    """Genotype.Equals (Genotype.cs:47-53): two phased genotypes compare
+    allele-wise ((2,1) != (1,2)); when either side carries only a total
+    copy number, equality is total-CN equality — so total 3 == phased
+    (2,1).  Genotype keys here are (total,) or (cnA, cnB) tuples."""
+    if len(g1) == 2 and len(g2) == 2:
+        return g1 == g2
+    return sum(g1) == sum(g2)
+
+
+def is_shared_cnv_phased(proband_gt: tuple[int, int],
+                         parent1_gt: tuple[int, int],
+                         parent2_gt: tuple[int, int]) -> bool:
+    """IsSharedCnv phased-genotype version (CanvasPedigreeCaller.cs:485-500):
+    the proband's A allele must be shared with one parent and its B allele
+    with the other (either pairing)."""
+    return ((contains_shared_allele(proband_gt[0], parent1_gt)
+             and contains_shared_allele(proband_gt[1], parent2_gt))
+            or (contains_shared_allele(proband_gt[0], parent2_gt)
+                and contains_shared_allele(proband_gt[1], parent1_gt)))
+
+
 def is_shared_cnv(cns: dict, ploidies: dict, parent_keys: list[str],
                   proband_key: str, max_cn: int = MAX_COPY_NUMBER) -> bool:
     """IsSharedCnv total-CN version (CanvasPedigreeCaller.cs:510-527)."""
@@ -992,7 +1021,21 @@ def call_pedigree_haplotype(
             for c_idx, proband in enumerate(offspring):
                 if cns[proband] == ploidies[proband]:
                     continue
-                if is_shared_cnv(cns, ploidies, parents, proband, max_cn):
+                # HaplotypeVariantCaller.SetDenovoQualityScores (:243) routes
+                # through the Genotype-map IsSharedCnv overload: a phased
+                # proband genotype uses the parent shared-allele check
+                # (CanvasPedigreeCaller.cs:485-500); total-CN keys fall back
+                # to the ploidy-based version (:494).
+                phased = (len(chosen[proband]) == 2
+                          and len(chosen[parents[0]]) == 2
+                          and len(chosen[parents[1]]) == 2)
+                shared = (
+                    is_shared_cnv_phased(chosen[proband], chosen[parents[0]],
+                                         chosen[parents[1]])
+                    if phased
+                    else is_shared_cnv(cns, ploidies, parents, proband,
+                                       max_cn))
+                if shared:
                     continue
                 sibs = [o for o in offspring if o != proband]
                 if not all(cns[s] == ploidies[s] for s in sibs):

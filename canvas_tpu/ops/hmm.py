@@ -76,6 +76,23 @@ def negative_binomial_table(mean, variance, max_value: int) -> np.ndarray:
     return np.where(np.isfinite(dens), dens, 0.0)
 
 
+def multivariate_poisson_likelihood(means, x) -> float:
+    """MultivariatePoissonDistribution.EstimateLikelihood
+    (CanvasPartition/Distributions.cs:79-114): product of independent
+    Poisson pmfs over the samples axis, with the reference's NaN/Inf ->
+    0.0 guard (so extreme counts underflow to a hard zero instead of
+    propagating non-finite values into the mixture).  The reference keeps
+    this as the alternative HMM emission next to the production
+    NegativeBinomialMixture (HMM.cs:30)."""
+    from scipy import stats as _sps
+
+    means = np.asarray(means, dtype=np.float64)
+    counts = np.rint(np.asarray(x, dtype=np.float64)).astype(np.int64)
+    with np.errstate(over="ignore", invalid="ignore"):
+        lik = float(np.prod(_sps.poisson.pmf(counts, means)))
+    return lik if np.isfinite(lik) else 0.0
+
+
 def genotype_combinations(n_dim: int, state: int) -> list[tuple[int, ...]]:
     """DistributionUtilities.GetGenotypeCombinations (Distributions.cs:187-204):
     distinct permutations of (state × (n-k), 2 × k) for k in 0..n-1."""

@@ -18,6 +18,12 @@ from canvas_tpu.pipeline import runner
 
 
 def _common(parser: argparse.ArgumentParser) -> None:
+    from canvas_tpu import __version__
+
+    # the reference accepts -v after the mode too ("Canvas.exe WGS -v",
+    # ModeParserTests.Parse_ModeWithVersion)
+    parser.add_argument("-v", "--version", action="version",
+                        version=__version__)
     parser.add_argument("-r", "--reference", required=True,
                         help="folder with kmer.fa (and GenomeSize.xml)")
     parser.add_argument("-o", "--output", required=True)
@@ -42,9 +48,14 @@ def _common(parser: argparse.ArgumentParser) -> None:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    from canvas_tpu import __version__
+
     p = argparse.ArgumentParser(
         prog="canvas_tpu",
         description="TPU-native CNV caller (Canvas-compatible modes)")
+    # MainParser.Run: -v/--version prints the version and exits 0
+    # (ModeParserTests.Parse_ModeWithVersion_ReturnsSuccessAndDisplaysVersion)
+    p.add_argument("-v", "--version", action="version", version=__version__)
     sub = p.add_subparsers(dest="mode", required=True)
 
     g = sub.add_parser("Germline-WGS", help="germline single-sample WGS")
@@ -140,16 +151,28 @@ def main(argv=None) -> int:
                 args.custom_parameters))
     if getattr(args, "training_mode", False):
         config.somatic_training_mode = True
-    ctx = runner.WorkflowContext(
-        reference_folder=args.reference, output_dir=args.output,
-        config=config, filter_bed=args.filter_bed,
-        resume=not args.no_resume)
+    # required-file validation at parse time, with the reference's message
+    # (FileOption.cs:27 "Error: {location} does not exist"; the kmer fasta
+    # is a required FileOption, CommonOptionsParser.cs:8)
+    kmer = Path(args.reference) / "kmer.fa"
+    if not kmer.exists():
+        print(f"Error: {kmer} does not exist", file=sys.stderr)
+        return 2
 
+    # exclusive-option failures happen at parse time, before any reference
+    # loading (ExclusiveFileOption,
+    # ModeParserTests.ParseExclusiveOption_WithOnlyTwoOption_Returns
+    # FailedParseResult)
     pop_vcf = getattr(args, "population_b_allele_vcf", None)
     if pop_vcf and getattr(args, "sample_b_allele_vcf", None):
         print("--sample-b-allele-vcf and --population-b-allele-vcf are "
               "mutually exclusive", file=sys.stderr)
         return 2
+
+    ctx = runner.WorkflowContext(
+        reference_folder=args.reference, output_dir=args.output,
+        config=config, filter_bed=args.filter_bed,
+        resume=not args.no_resume)
 
     if args.mode == "Germline-WGS":
         sample = runner.Sample(args.sample_name, args.bam,
