@@ -334,19 +334,73 @@ def tmax_o(x: np.ndarray, tss: float, al0: int) -> tuple[float, int, int]:
     # (CBSTStatistic.TMaxO), usually at a tiny fraction of the work.
     nal0 = min(n - al0, n - 1)
     lo, hi = al0, nal0
+    # Lags are consumed in CHUNKS of consecutive L from whichever side
+    # currently has the higher weight.  Three exact bounds prune chunks:
+    #   (a) |cs[i+L] - cs[i]| <= psdiff (global cumsum range), the scalar
+    #       loop's bound, monotone along the scan order -> full stop;
+    #   (b) direct: the arc sum is a window sum of x, so
+    #       |cs[i+L] - cs[i]| <= max windowed |x|-sum at lag L, which is
+    #       NONdecreasing in L -> one O(n) scan at the chunk's largest lag
+    #       bounds every lag in the chunk (prunes SHORT arcs);
+    #   (c) complement: arc = total - complement and the complement's
+    #       |x|-sum is total_abs_sum minus the arc's own window |x|-sum,
+    #       so |cs[i+L] - cs[i]| <= |total| + sum|x| - min windowed
+    #       |x|-sum at lag L, NONincreasing in L -> one O(n) scan at the
+    #       chunk's smallest lag bounds the chunk (prunes LONG arcs).
+    # Noise segments (small arc sums, large psdiff) prune at ~1/CHUNK of
+    # the scalar loop's work.  Skipping is exact: a pruned lag has
+    # bss <= bound <= best and the update test is strict, so it can never
+    # change the result.
+    CHUNK = 32
+    win = np.lib.stride_tricks.sliding_window_view
+    csabs = np.cumsum(np.abs(x), dtype=np.float64)
+    total_abs = abs(float(cs[-1]))
+    csabs_total = float(csabs[-1])
+    jj = np.arange(CHUNK - 1)
     while lo <= hi:
-        # next lag by descending weight
-        if min(lo, n - lo) >= min(hi, n - hi):
-            L, hi = hi, hi - 1
-        else:
-            L, lo = lo, lo + 1
-        if n / (L * (n - L)) * psdiff ** 2 <= best:
-            break  # no remaining lag can beat the current best
-        d = np.abs(cs[L:] - cs[:-L])               # pairs (i, i+L), i=1..n-L
-        dmax = float(d.max())
-        bss = n / (L * (n - L)) * dmax ** 2
-        if bss > best:                             # argmax only on improvement
-            best = bss
+        # pick the side whose NEXT lag has the higher weight (same order
+        # the scalar loop used), then take a consecutive run from it
+        from_hi = min(lo, n - lo) >= min(hi, n - hi)
+        L_first = hi if from_hi else lo
+        w_first = n / (L_first * (n - L_first))
+        if w_first * psdiff ** 2 <= best:
+            break  # no remaining lag on either side can beat best
+        c = min(CHUNK, hi - lo + 1)
+        if from_hi:                                # scan order: descending L
+            l0, hi = hi - c + 1, hi - c
+        else:                                      # scan order: ascending L
+            l0, lo = lo, lo + c
+        lmax = l0 + c - 1
+        direct = float((csabs[lmax:] - csabs[:-lmax]).max()) \
+            if lmax < n else csabs_total
+        compl = total_abs + csabs_total \
+            - float((csabs[l0:] - csabs[:-l0]).min())
+        # w is minimized at n/2: a chunk crossing it peaks at an endpoint
+        w_chunk = max(n / (l0 * (n - l0)), n / (lmax * (n - lmax)))
+        if w_chunk * min(psdiff, direct, compl) ** 2 <= best:
+            continue                               # whole chunk pruned
+        width = n - lmax                           # pairs valid for ALL lags
+        rowlag = np.arange(l0, lmax + 1)           # row r <-> lag l0+r
+        rows = win(cs, width)[l0: lmax + 1]        # rows: cs[L : L+width]
+        dmax_rows = np.abs(rows - cs[:width]).max(axis=1)
+        if c > 1:
+            # tail pairs (i, i+L) with i >= width, vectorized as one
+            # [c, c-1] gather: T[r, j] = cs[width+L+j] - cs[width+j],
+            # valid while j < lmax - L
+            j = jj[: c - 1]
+            idx = np.minimum(width + rowlag[:, None] + j[None, :], n - 1)
+            t = np.abs(cs[idx] - cs[width: width + c - 1][None, :])
+            t[j[None, :] >= (lmax - rowlag)[:, None]] = 0.0
+            np.maximum(dmax_rows, t.max(axis=1), out=dmax_rows)
+        wvec = n / (rowlag * (n - rowlag)).astype(np.float64)
+        bssv = wvec * dmax_rows ** 2
+        bmax = float(bssv.max())
+        if bmax > best:                            # ties: first in SCAN order
+            best = bmax
+            cand = np.flatnonzero(bssv == bmax)
+            ridx = int(cand.max() if from_hi else cand.min())
+            L = int(rowlag[ridx])
+            d = np.abs(cs[L:] - cs[:-L])
             k = int(np.argmax(d))
             ti, tj = k + 1, k + 1 + L
     return _bss_to_t2(best, tss, n), ti, tj
@@ -387,14 +441,24 @@ def _htmax_device_jit(perms, n, tss, npad, al0, kmax):
 def htmax_p_batch_np(perms: np.ndarray, tss: float, al0: int,
                      kmax: int) -> np.ndarray:
     """Hybrid max-t over short arcs for each permutation [P, n] — float64
-    numpy oracle (~kmax passes over a [P, n] cumsum)."""
+    numpy oracle (~kmax passes over a [P, n] cumsum).  The per-lag diff,
+    abs, and row-max run in a reused buffer: at genome-scale (P=512,
+    n=16k) each lag otherwise allocates and faults two fresh 64 MB
+    temporaries."""
     P, n = perms.shape
     cs = np.cumsum(perms, axis=1)
     best = np.zeros(P, dtype=np.float64)
+    buf = np.empty_like(cs)
+    wrap = np.empty((P, max(min(kmax, n - 1), 1)), dtype=np.float64)
     for L in range(al0, min(kmax, n - 1) + 1):
-        d_lin = np.max(np.abs(cs[:, L:] - cs[:, :-L]), axis=1)
-        d_wrap = np.max(np.abs(cs[:, n - L:] - cs[:, :L]), axis=1)
-        d = np.maximum(d_lin, d_wrap)
+        b = buf[:, : n - L]
+        np.subtract(cs[:, L:], cs[:, :-L], out=b)
+        np.abs(b, out=b)
+        d = b.max(axis=1)
+        wb = wrap[:, :L]
+        np.subtract(cs[:, n - L:], cs[:, :L], out=wb)
+        np.abs(wb, out=wb)
+        np.maximum(d, wb.max(axis=1), out=d)
         w = n / (L * (n - L))
         np.maximum(best, w * d * d, out=best)
     tssv = np.where(tss <= best + 0.0001, best + 1.0, tss)
@@ -443,10 +507,14 @@ def tmax_p_batch(perms: np.ndarray, tss: float, al0: int) -> np.ndarray:
     P, n = perms.shape
     cs = np.cumsum(perms, axis=1)
     best = np.zeros(P)
+    buf = np.empty_like(cs)
     for L in range(al0, n - al0 + 1):
         if L >= n:
             break
-        d = np.max(np.abs(cs[:, L:] - cs[:, :-L]), axis=1)
+        b = buf[:, : n - L]
+        np.subtract(cs[:, L:], cs[:, :-L], out=b)
+        np.abs(b, out=b)
+        d = b.max(axis=1)
         w = n / (L * (n - L))
         np.maximum(best, w * d * d, out=best)
     tssv = np.where(tss <= best + 0.0001, best + 1.0, tss)
@@ -539,8 +607,17 @@ def find_change_points(
         accepted = True
         np_i = 0
         walking = True
+        # doubling chunk schedule (64 -> PERM_CHUNK): the sequential
+        # boundary walk usually terminates within the first couple of
+        # hundred permutations, so a fixed 512-permutation first batch
+        # computes 2-4x more max-t stats than the walk consumes.  Chunk
+        # size does not change the permutation sequence: Generator.random
+        # fills row-major from one bitstream, so consecutive smaller draws
+        # yield the exact rows one large draw would.
+        chunk = PERM_CHUNK // 8
         while walking and np_i < n_perm:
-            m = min(PERM_CHUNK, n_perm - np_i)
+            m = min(chunk, n_perm - np_i)
+            chunk = min(chunk * 2, PERM_CHUNK)
             perms = _permute_batch(x, m, rng)
             if hybrid:
                 pstats = htmax_p_batch(perms, tss, min_width, kmax)
