@@ -232,6 +232,22 @@ def _integral_inv_t1t_sq(x: float, a: float) -> float:
     return float(out)
 
 
+_NU_SQRT_NEG_HALF = np.empty(0)   # -sqrt(dk)/2 for dk = 1.. (grown on demand)
+_NU_TWO_OVER_DK = np.empty(0)     # 2/dk
+
+
+def _nu_schedule(upto: int) -> None:
+    """Grow the cached term-schedule arrays (deterministic across calls:
+    dk is always 1, 2, 3, ... so sqrt/reciprocal are computed once per
+    process, not once per block)."""
+    global _NU_SQRT_NEG_HALF, _NU_TWO_OVER_DK
+    if len(_NU_SQRT_NEG_HALF) < upto:
+        dks = np.arange(1, max(upto, 2 * len(_NU_SQRT_NEG_HALF)) + 1,
+                        dtype=np.float64)
+        _NU_SQRT_NEG_HALF = -np.sqrt(dks) / 2.0
+        _NU_TWO_OVER_DK = 2.0 / dks
+
+
 def _nu_batch(xs: np.ndarray, tol: float) -> np.ndarray:
     """_nu over a vector of x values with a shared doubling schedule: each
     x consumes exactly the blocks the scalar version would (same term
@@ -254,9 +270,10 @@ def _nu_batch(xs: np.ndarray, tol: float) -> np.ndarray:
     dk_done = 0
 
     def block(xv, start, count):
-        dks = np.arange(start + 1, start + count + 1, dtype=np.float64)
-        return np.sum(2.0 * ndtr(-xv[:, None] * np.sqrt(dks)[None] / 2.0)
-                      / dks[None], axis=1)
+        _nu_schedule(start + count)
+        return np.sum(ndtr(xv[:, None]
+                           * _NU_SQRT_NEG_HALF[start: start + count][None])
+                      * _NU_TWO_OVER_DK[start: start + count][None], axis=1)
 
     lnu1 -= block(x, dk_done, k)            # first k terms, unconditional
     dk_done += k
