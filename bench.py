@@ -201,10 +201,14 @@ def main():
     from canvas_tpu.config import warm_device_session
     warm_device_session()
 
-    hmm_bins, hmm_dt = bench_hmm()
+    # host-only stages first: the tunneled session's first-fetch stall
+    # (typically 45-400 s) keeps opening on the warmup thread while CBS
+    # and the CPU-subprocess scaling run, so the device stages that follow
+    # pay less of it on the critical path
     cbs_bins, cbs_dt = bench_cbs()
-    grid_models, grid_segs, grid_dt = bench_somatic_grid()
     scaling = bench_scaling()
+    hmm_bins, hmm_dt = bench_hmm()
+    grid_models, grid_segs, grid_dt = bench_somatic_grid()
 
     combined = (hmm_bins + cbs_bins) / (hmm_dt + cbs_dt)
     result = {

@@ -31,6 +31,15 @@ def _common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--ploidy-vcf", default=None)
     parser.add_argument("--no-resume", action="store_true",
                         help="ignore existing checkpoints")
+    parser.add_argument("-c", "--start-checkpoint", default=None,
+                        metavar="NAME|NUM",
+                        help="continue analysis starting at the specified "
+                             "checkpoint (stage name or 1-based number); "
+                             "earlier stages load their saved results")
+    parser.add_argument("-s", "--stop-checkpoint", default=None,
+                        metavar="NAME|NUM",
+                        help="stop analysis after the specified checkpoint "
+                             "is complete")
     parser.add_argument("--param-file", default=None,
                         help="JSON parameter file (SomaticCallerParameters/"
                              "CanvasPartitionParameters shape)")
@@ -129,51 +138,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    if args.coordinator:
-        from canvas_tpu.parallel import distributed
-
-        pid, nproc = distributed.initialize(
-            args.coordinator, args.num_processes, args.process_id)
-        print(f"[canvas_tpu] multi-host: process {pid}/{nproc}",
-              file=sys.stderr)
-    from canvas_tpu.config import CanvasConfig, load_parameter_file
-
-    config = CanvasConfig()
-    if args.param_file:
-        config = load_parameter_file(args.param_file, config)
-    if args.custom_parameters:
-        from canvas_tpu.pipeline import custom_params
-
-        custom_params.apply_custom_parameters(
-            config, custom_params.parse_custom_parameters(
-                args.custom_parameters))
-    if getattr(args, "training_mode", False):
-        config.somatic_training_mode = True
-    # required-file validation at parse time, with the reference's message
-    # (FileOption.cs:27 "Error: {location} does not exist"; the kmer fasta
-    # is a required FileOption, CommonOptionsParser.cs:8)
-    kmer = Path(args.reference) / "kmer.fa"
-    if not kmer.exists():
-        print(f"Error: {kmer} does not exist", file=sys.stderr)
-        return 2
-
-    # exclusive-option failures happen at parse time, before any reference
-    # loading (ExclusiveFileOption,
-    # ModeParserTests.ParseExclusiveOption_WithOnlyTwoOption_Returns
-    # FailedParseResult)
-    pop_vcf = getattr(args, "population_b_allele_vcf", None)
-    if pop_vcf and getattr(args, "sample_b_allele_vcf", None):
-        print("--sample-b-allele-vcf and --population-b-allele-vcf are "
-              "mutually exclusive", file=sys.stderr)
-        return 2
-
-    ctx = runner.WorkflowContext(
-        reference_folder=args.reference, output_dir=args.output,
-        config=config, filter_bed=args.filter_bed,
-        resume=not args.no_resume)
-
+def _dispatch(args, ctx, config, pop_vcf):
     if args.mode == "Germline-WGS":
         sample = runner.Sample(args.sample_name, args.bam,
                                normal_vcf=args.sample_b_allele_vcf or pop_vcf,
@@ -277,6 +242,64 @@ def main(argv=None) -> int:
             for n, b, t, v in zip(names, bams, types, vcfs)]
         out = runner.small_pedigree_wgs(
             ctx, samples, common_cnvs_bed=args.common_cnvs_bed)
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.coordinator:
+        from canvas_tpu.parallel import distributed
+
+        pid, nproc = distributed.initialize(
+            args.coordinator, args.num_processes, args.process_id)
+        print(f"[canvas_tpu] multi-host: process {pid}/{nproc}",
+              file=sys.stderr)
+    from canvas_tpu.config import CanvasConfig, load_parameter_file
+
+    config = CanvasConfig()
+    if args.param_file:
+        config = load_parameter_file(args.param_file, config)
+    if args.custom_parameters:
+        from canvas_tpu.pipeline import custom_params
+
+        custom_params.apply_custom_parameters(
+            config, custom_params.parse_custom_parameters(
+                args.custom_parameters))
+    if getattr(args, "training_mode", False):
+        config.somatic_training_mode = True
+    # required-file validation at parse time, with the reference's message
+    # (FileOption.cs:27 "Error: {location} does not exist"; the kmer fasta
+    # is a required FileOption, CommonOptionsParser.cs:8)
+    kmer = Path(args.reference) / "kmer.fa"
+    if not kmer.exists():
+        print(f"Error: {kmer} does not exist", file=sys.stderr)
+        return 2
+
+    # exclusive-option failures happen at parse time, before any reference
+    # loading (ExclusiveFileOption,
+    # ModeParserTests.ParseExclusiveOption_WithOnlyTwoOption_Returns
+    # FailedParseResult)
+    pop_vcf = getattr(args, "population_b_allele_vcf", None)
+    if pop_vcf and getattr(args, "sample_b_allele_vcf", None):
+        print("--sample-b-allele-vcf and --population-b-allele-vcf are "
+              "mutually exclusive", file=sys.stderr)
+        return 2
+
+    ctx = runner.WorkflowContext(
+        reference_folder=args.reference, output_dir=args.output,
+        config=config, filter_bed=args.filter_bed,
+        resume=not args.no_resume,
+        start_checkpoint=args.start_checkpoint,
+        stop_checkpoint=args.stop_checkpoint)
+
+    try:
+        out = _dispatch(args, ctx, config, pop_vcf)
+    except runner.StopAfterCheckpoint as e:
+        # -s/--stop-checkpoint: clean exit after the named stage
+        print(f"[canvas_tpu] {e}", file=sys.stderr)
+        return 0
+    if isinstance(out, int):
+        return out   # a dispatch-time usage error (exit code)
     print(f"CNV calls written to {out}")
     return 0
 

@@ -29,9 +29,15 @@ class StageRecord:
 class RunProfile:
     records: list[StageRecord] = field(default_factory=list)
     started: float = field(default_factory=time.time)
+    # optional stage-boundary hook (the workflows install
+    # Checkpointer.stage here so -c/-s start/stop-checkpoint flags see
+    # every stage transition; raising from it aborts the workflow)
+    gate: object = None
 
     @contextlib.contextmanager
     def stage(self, name: str, **extra):
+        if self.gate is not None:
+            self.gate(name)
         t0 = time.perf_counter()
         try:
             yield self

@@ -43,21 +43,67 @@ from canvas_tpu.ops import segments as segops
 from canvas_tpu.pipeline import profiling, segments_io
 
 
+class StopAfterCheckpoint(Exception):
+    """Raised at the first stage boundary past --stop-checkpoint; the CLI
+    catches it and exits 0 (the Isas checkpointer's stop semantics)."""
+
+    def __init__(self, checkpoint: str):
+        super().__init__(f"stopping after checkpoint {checkpoint!r}")
+        self.checkpoint = checkpoint
+
+
 @dataclass
 class Checkpointer:
-    """File-based stage checkpointing (ICheckpointRunner contract)."""
+    """File-based stage checkpointing (ICheckpointRunner contract).
+
+    start_checkpoint / stop_checkpoint implement the reference's
+    `-c` / `-s` flags (CommonOptionsParser.cs:13-14, wired through
+    IsasFrameworkFactory.RunWithCheckpointer, MainParser.cs:223): a value
+    is a stage name ("CanvasPartition") or its 1-based number in
+    execution order.  Stages before the start checkpoint load their saved
+    results; the start checkpoint and everything after re-run even when
+    their artifacts exist.  The workflow stops at the first stage boundary
+    after the stop checkpoint completes."""
 
     work_dir: Path
     resume: bool = True
+    start_checkpoint: str | None = None
+    stop_checkpoint: str | None = None
 
     def __post_init__(self):
         self.work_dir = Path(self.work_dir)
         self.work_dir.mkdir(parents=True, exist_ok=True)
+        self._order: list[str] = []      # stage names in first-seen order
+        self._started = self.start_checkpoint is None
+        self._stop_seen = False
 
     def path(self, name: str) -> Path:
         return self.work_dir / name
 
+    def _matches(self, spec: str, stage_name: str) -> bool:
+        if spec.isdigit():
+            return len(self._order) == int(spec) \
+                and self._order[-1] == stage_name
+        return spec == stage_name
+
+    def stage(self, name: str) -> None:
+        """Stage-boundary notification (workflows call this at every
+        prof.stage entry)."""
+        if self._stop_seen and name != self._order[-1]:
+            raise StopAfterCheckpoint(self.stop_checkpoint)
+        if not self._order or self._order[-1] != name:
+            if name not in self._order:
+                self._order.append(name)
+        if self.start_checkpoint is not None \
+                and self._matches(self.start_checkpoint, name):
+            self._started = True
+        if self.stop_checkpoint is not None \
+                and self._matches(self.stop_checkpoint, name):
+            self._stop_seen = True
+
     def done(self, name: str) -> bool:
+        if self._started and self.start_checkpoint is not None:
+            return False                 # at/after -c: always re-run
         return self.resume and self.path(name).exists()
 
     def run(self, name: str, produce, load, save):
@@ -97,6 +143,8 @@ class WorkflowContext:
     config: CanvasConfig = field(default_factory=CanvasConfig)
     filter_bed: str | None = None
     resume: bool = True
+    start_checkpoint: str | None = None   # -c (CommonOptionsParser.cs:13)
+    stop_checkpoint: str | None = None    # -s (CommonOptionsParser.cs:14)
 
     def __post_init__(self):
         # start absorbing the device session's first-fetch stall while we
@@ -123,7 +171,9 @@ class WorkflowContext:
         self.canonical = [n for n in self.contigs.names
                           if is_canonical(n) and n in self.tracks]
         self.checkpointer = Checkpointer(Path(self.output_dir) / "Checkpoints",
-                                         self.resume)
+                                         self.resume,
+                                         self.start_checkpoint,
+                                         self.stop_checkpoint)
 
 
 # ---------------------------------------------------------------------------
@@ -505,6 +555,7 @@ def _flatten(segments_by_contig: dict[str, list], contigs: ContigTable):
 def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
     """Germline-WGS: bin -> clean -> wavelets (germline) -> diploid caller."""
     prof = profiling.reset()
+    prof.gate = ctx.checkpointer.stage   # -c/-s start/stop-checkpoint
     ploidy = load_ploidy_vcf(sample.ploidy_vcf) if sample.ploidy_vcf else None
     with prof.stage("CanvasBin"):
         bins, _ = run_bin(ctx, sample)
@@ -658,6 +709,7 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
     manifest = Manifest.read(manifest_path) if is_enrichment else None
     ploidy = load_ploidy_vcf(tumor.ploidy_vcf) if tumor.ploidy_vcf else None
     prof = profiling.reset()
+    prof.gate = ctx.checkpointer.stage   # -c/-s start/stop-checkpoint
     all_controls = ([normal] if normal else []) + list(controls or [])
     with prof.stage("CanvasBin"):
         if is_enrichment:
@@ -866,6 +918,7 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
     cleaned: dict[str, BinSet] = {}
     ploidies: dict[str, PloidyInfo | None] = {}
     prof = profiling.reset()
+    prof.gate = ctx.checkpointer.stage   # -c/-s start/stop-checkpoint
     # shared multi-sample bin size: median rate over ALL samples so bin
     # boundaries align (CanvasBin.CalculateMultiSampleBinSize :842-865)
     need_ingest = [s for s in samples

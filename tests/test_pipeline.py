@@ -502,3 +502,50 @@ def test_cli_small_pedigree_reference_style(reference_dir, tmp_path):
     header = _gzip.open(out, "rt").read()
     # sample columns named from the BAM-derived names, proband last given
     assert "father\tmother\tchild1" in header
+
+
+def test_start_stop_checkpoint_flags(reference_dir, tmp_path):
+    """-c/-s (CommonOptionsParser.cs:13-14): -s stops the workflow after
+    the named stage with exit 0 and no VCF; a later -c run re-executes
+    from the named stage (loading earlier stages' artifacts) and finishes."""
+    import gzip
+
+    from canvas_tpu.pipeline.cli import main
+
+    bam_path = tmp_path / "s.bam"
+    make_bam(bam_path, np.random.default_rng(5), CNV_PLAN)
+    out_dir = tmp_path / "ckout"
+    base = ["Germline-WGS", "-b", str(bam_path), "-n", "ck",
+            "-r", str(reference_dir), "-o", str(out_dir)]
+
+    # stop after CanvasClean: clean exit, bin+clean checkpoints exist,
+    # no VCF written
+    rc = main(base + ["-s", "CanvasClean"])
+    assert rc == 0
+    assert (out_dir / "Checkpoints" / "CanvasBin_ck.binned.gz").exists()
+    assert not (out_dir / "_CNV.vcf.gz".join(["ck", ""])).exists()
+    assert not (out_dir / "ck_CNV.vcf.gz").exists()
+
+    # resume from CanvasClean onward: loads the binned checkpoint, re-runs
+    # clean/partition/caller, produces the VCF
+    rc = main(base + ["-c", "CanvasClean"])
+    assert rc == 0
+    vcf = out_dir / "ck_CNV.vcf.gz"
+    assert vcf.exists()
+    resumed = gzip.open(vcf).read()
+
+    # numbered form: "-s 2" = stop after the 2nd stage (CanvasClean)
+    rc = main(["Germline-WGS", "-b", str(bam_path), "-n", "ck2",
+               "-r", str(reference_dir), "-o", str(tmp_path / "ckout2"),
+               "-s", "2"])
+    assert rc == 0
+    assert not (tmp_path / "ckout2" / "ck2_CNV.vcf.gz").exists()
+
+    # a full fresh run matches the stop-then-resume VCF byte for byte
+    rc = main(["Germline-WGS", "-b", str(bam_path), "-n", "ck",
+               "-r", str(reference_dir), "-o", str(tmp_path / "ckout3")])
+    assert rc == 0
+    full = gzip.open(tmp_path / "ckout3" / "ck_CNV.vcf.gz").read()
+    strip = lambda v: b"\n".join(
+        ln for ln in v.split(b"\n") if not ln.startswith(b"##fileDate"))
+    assert strip(resumed) == strip(full)
