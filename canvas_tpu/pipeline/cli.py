@@ -25,9 +25,14 @@ def _common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("-v", "--version", action="version",
                         version=__version__)
     parser.add_argument("-r", "--reference", required=True,
-                        help="folder with kmer.fa (and GenomeSize.xml)")
+                        help="folder with kmer.fa (and GenomeSize.xml), or "
+                             "the kmer.fa file itself (reference style)")
+    parser.add_argument("-g", "--genome-folder", default=None,
+                        help="folder with genome.fa and GenomeSize.xml "
+                             "(reference -g; defaults to the -r folder)")
     parser.add_argument("-o", "--output", required=True)
-    parser.add_argument("--filter-bed", default=None)
+    parser.add_argument("-f", "--filter-bed", default=None,
+                        help=".bed file of regions to skip")
     parser.add_argument("--ploidy-vcf", default=None)
     parser.add_argument("--no-resume", action="store_true",
                         help="ignore existing checkpoints")
@@ -270,7 +275,8 @@ def main(argv=None) -> int:
     # required-file validation at parse time, with the reference's message
     # (FileOption.cs:27 "Error: {location} does not exist"; the kmer fasta
     # is a required FileOption, CommonOptionsParser.cs:8)
-    kmer = Path(args.reference) / "kmer.fa"
+    ref = Path(args.reference)
+    kmer = ref if ref.is_file() else ref / "kmer.fa"
     if not kmer.exists():
         print(f"Error: {kmer} does not exist", file=sys.stderr)
         return 2
@@ -290,7 +296,8 @@ def main(argv=None) -> int:
         config=config, filter_bed=args.filter_bed,
         resume=not args.no_resume,
         start_checkpoint=args.start_checkpoint,
-        stop_checkpoint=args.stop_checkpoint)
+        stop_checkpoint=args.stop_checkpoint,
+        genome_folder=args.genome_folder)
 
     try:
         out = _dispatch(args, ctx, config, pop_vcf)

@@ -145,14 +145,34 @@ class WorkflowContext:
     resume: bool = True
     start_checkpoint: str | None = None   # -c (CommonOptionsParser.cs:13)
     stop_checkpoint: str | None = None    # -s (CommonOptionsParser.cs:14)
+    # -g genome folder (CommonOptionsParser.cs:10): where genome.fa and
+    # GenomeSize.xml live when not next to kmer.fa
+    genome_folder: str | None = None
+
+    @property
+    def genome_fasta(self) -> Path:
+        """genome.fa for the VCF ##reference header: the -g genome folder
+        when given (CommonOptionsParser.cs:10), else next to kmer.fa."""
+        if self.genome_folder:
+            g = Path(self.genome_folder) / "genome.fa"
+            if g.exists():
+                return g
+        return Path(self.reference_folder) / "genome.fa"
 
     def __post_init__(self):
         # start absorbing the device session's first-fetch stall while we
         # parse reference tracks / scan BAMs on the host
         from canvas_tpu.config import warm_device_session
         warm_device_session()
-        kmer = Path(self.reference_folder) / "kmer.fa"
-        gs = Path(self.reference_folder) / "GenomeSize.xml"
+        ref = Path(self.reference_folder)
+        if ref.is_file():                 # reference style: -r kmer.fa
+            kmer, ref = ref, ref.parent
+            self.reference_folder = str(ref)
+        else:
+            kmer = ref / "kmer.fa"
+        gs = ref / "GenomeSize.xml"
+        if not gs.exists() and self.genome_folder:
+            gs = Path(self.genome_folder) / "GenomeSize.xml"
         contigs = (ContigTable.from_genome_size_xml(gs) if gs.exists() else None)
         self.contigs, self.tracks = load_reference_tracks(kmer, contigs)
         self.excluded_intervals = None
@@ -580,7 +600,7 @@ def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
         reference_cn_fn=(lambda i, s: ploidy.reference_copy_number(
             s.chrom, s.begin, s.end)) if ploidy else None,
         quality_threshold=ctx.config.quality_filter_threshold,
-        reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+        reference_path=str(ctx.genome_fasta))
     _write_visualization(ctx, sample.name, called, dip_cov, ploidy)
     prof.write(Path(ctx.output_dir) / f"{sample.name}_profile.json")
     return out
@@ -849,7 +869,7 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
         reference_cn_fn=(lambda i, s: ploidy.reference_copy_number(
             s.chrom, s.begin, s.end)) if ploidy else None,
         quality_threshold=ctx.config.quality_filter_threshold,
-        reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+        reference_path=str(ctx.genome_fasta))
     prof.write(Path(ctx.output_dir) / f"{tumor.name}_profile.json")
     return out
 
@@ -985,7 +1005,7 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
         out, [segs_by_sample[n] for n in names], names, ctx.contigs,
         denovo_quality_threshold=ctx.config.denovo_quality_threshold,
         quality_threshold=ctx.config.quality_filter_threshold,
-        reference_path=str(Path(ctx.reference_folder) / "genome.fa"))
+        reference_path=str(ctx.genome_fasta))
     for name in names:
         cov = np.concatenate([s.bin_counts for s in segs_by_sample[name]])
         _write_visualization(ctx, name, segs_by_sample[name],

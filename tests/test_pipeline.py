@@ -549,3 +549,28 @@ def test_start_stop_checkpoint_flags(reference_dir, tmp_path):
     strip = lambda v: b"\n".join(
         ln for ln in v.split(b"\n") if not ln.startswith(b"##fileDate"))
     assert strip(resumed) == strip(full)
+
+
+def test_reference_style_flags(reference_dir, tmp_path):
+    """-r can point at the kmer.fa FILE (the reference's KmerFasta
+    FileOption, CommonOptionsParser.cs:8) and -g names the genome folder
+    (CommonOptionsParser.cs:10); output matches the folder-style run."""
+    import gzip
+
+    from canvas_tpu.pipeline.cli import main
+
+    bam_path = tmp_path / "s.bam"
+    make_bam(bam_path, np.random.default_rng(9), CNV_PLAN)
+    rc = main(["Germline-WGS", "-b", str(bam_path), "-n", "rs",
+               "-r", str(reference_dir / "kmer.fa"),
+               "-g", str(reference_dir),
+               "-o", str(tmp_path / "out_file_style")])
+    assert rc == 0
+    rc = main(["Germline-WGS", "-b", str(bam_path), "-n", "rs",
+               "-r", str(reference_dir), "-o", str(tmp_path / "out_dir")])
+    assert rc == 0
+    strip = lambda v: b"\n".join(
+        ln for ln in v.split(b"\n") if not ln.startswith(b"##fileDate"))
+    a = gzip.open(tmp_path / "out_file_style" / "rs_CNV.vcf.gz").read()
+    b = gzip.open(tmp_path / "out_dir" / "rs_CNV.vcf.gz").read()
+    assert strip(a) == strip(b)
