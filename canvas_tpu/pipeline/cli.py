@@ -275,8 +275,7 @@ def main(argv=None) -> int:
     # required-file validation at parse time, with the reference's message
     # (FileOption.cs:27 "Error: {location} does not exist"; the kmer fasta
     # is a required FileOption, CommonOptionsParser.cs:8)
-    ref = Path(args.reference)
-    kmer = ref if ref.is_file() else ref / "kmer.fa"
+    kmer = runner.WorkflowContext.resolve_kmer(args.reference)
     if not kmer.exists():
         print(f"Error: {kmer} does not exist", file=sys.stderr)
         return 2
@@ -307,6 +306,11 @@ def main(argv=None) -> int:
         return 0
     if isinstance(out, int):
         return out   # a dispatch-time usage error (exit code)
+    try:
+        ctx.checkpointer.finish()   # typo'd -c/-s must fail, not no-op
+    except ValueError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 2
     print(f"CNV calls written to {out}")
     return 0
 

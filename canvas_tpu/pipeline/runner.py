@@ -106,6 +106,19 @@ class Checkpointer:
             return False                 # at/after -c: always re-run
         return self.resume and self.path(name).exists()
 
+    def finish(self) -> None:
+        """Called after a workflow completes: a -c/-s spec that never
+        matched any stage is an error, not a silent no-op (otherwise a
+        typo'd -c loads every checkpoint and re-runs nothing)."""
+        if self.start_checkpoint is not None and not self._started:
+            raise ValueError(
+                f"--start-checkpoint {self.start_checkpoint!r} matched no "
+                f"stage; stages were: {', '.join(self._order)}")
+        if self.stop_checkpoint is not None and not self._stop_seen:
+            raise ValueError(
+                f"--stop-checkpoint {self.stop_checkpoint!r} matched no "
+                f"stage; stages were: {', '.join(self._order)}")
+
     def run(self, name: str, produce, load, save):
         """Run `produce()` unless checkpoint `name` exists; persist via
         save(value, path) / load(path).
@@ -149,6 +162,15 @@ class WorkflowContext:
     # GenomeSize.xml live when not next to kmer.fa
     genome_folder: str | None = None
 
+    @staticmethod
+    def resolve_kmer(reference: str) -> Path:
+        """-r accepts the kmer.fa file itself (the reference's KmerFasta
+        FileOption, CommonOptionsParser.cs:8) or a folder containing
+        kmer.fa — one resolver shared by the CLI's existence check and
+        the loader below."""
+        ref = Path(reference)
+        return ref if ref.is_file() else ref / "kmer.fa"
+
     @property
     def genome_fasta(self) -> Path:
         """genome.fa for the VCF ##reference header: the -g genome folder
@@ -164,12 +186,9 @@ class WorkflowContext:
         # parse reference tracks / scan BAMs on the host
         from canvas_tpu.config import warm_device_session
         warm_device_session()
-        ref = Path(self.reference_folder)
-        if ref.is_file():                 # reference style: -r kmer.fa
-            kmer, ref = ref, ref.parent
-            self.reference_folder = str(ref)
-        else:
-            kmer = ref / "kmer.fa"
+        kmer = self.resolve_kmer(self.reference_folder)
+        ref = kmer.parent
+        self.reference_folder = str(ref)
         gs = ref / "GenomeSize.xml"
         if not gs.exists() and self.genome_folder:
             gs = Path(self.genome_folder) / "GenomeSize.xml"
@@ -939,11 +958,16 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
     ploidies: dict[str, PloidyInfo | None] = {}
     prof = profiling.reset()
     prof.gate = ctx.checkpointer.stage   # -c/-s start/stop-checkpoint
-    # shared multi-sample bin size: median rate over ALL samples so bin
-    # boundaries align (CanvasBin.CalculateMultiSampleBinSize :842-865)
-    need_ingest = [s for s in samples
-                   if not ctx.checkpointer.done(f"CanvasBin_{s.name}.binned.gz")]
     with prof.stage("CanvasBin", samples=len(samples)):
+        # shared multi-sample bin size: median rate over ALL samples so bin
+        # boundaries align (CanvasBin.CalculateMultiSampleBinSize :842-865).
+        # done() must be consulted INSIDE the stage: the stage gate flips
+        # the -c start-checkpoint state, and deciding ingestion on the
+        # pre-gate answer would re-bin without the shared size on
+        # `-c CanvasBin` resumes.
+        need_ingest = [
+            s for s in samples
+            if not ctx.checkpointer.done(f"CanvasBin_{s.name}.binned.gz")]
         observed_by_sample = {s.name: ingest_observed(ctx, s)
                               for s in need_ingest}
         all_rates: list[float] = []

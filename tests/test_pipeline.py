@@ -574,3 +574,59 @@ def test_reference_style_flags(reference_dir, tmp_path):
     a = gzip.open(tmp_path / "out_file_style" / "rs_CNV.vcf.gz").read()
     b = gzip.open(tmp_path / "out_dir" / "rs_CNV.vcf.gz").read()
     assert strip(a) == strip(b)
+
+
+def test_unknown_checkpoint_spec_errors(reference_dir, tmp_path):
+    """A typo'd -c/-s must fail loudly after the run instead of silently
+    loading every checkpoint / running to completion."""
+    from canvas_tpu.pipeline.cli import main
+
+    bam_path = tmp_path / "s.bam"
+    make_bam(bam_path, np.random.default_rng(11), CNV_PLAN)
+    rc = main(["Germline-WGS", "-b", str(bam_path), "-n", "ty",
+               "-r", str(reference_dir), "-o", str(tmp_path / "o1"),
+               "-c", "CanvasParttion"])
+    assert rc == 2
+    rc = main(["Germline-WGS", "-b", str(bam_path), "-n", "ty",
+               "-r", str(reference_dir), "-o", str(tmp_path / "o2"),
+               "-s", "99"])
+    assert rc == 2
+
+
+def test_small_pedigree_start_checkpoint_shared_bin_size(
+        reference_dir, tmp_path):
+    """-c CanvasBin on a completed SmallPedigree run must re-bin with the
+    SHARED multi-sample bin size and reproduce the fresh run's VCF (the
+    need_ingest decision must happen after the stage gate flips)."""
+    import gzip
+
+    plans = {
+        "father": {"chr1": [(80_000, 140_000, 3)]},
+        "mother": {},
+        "proband": {"chr1": [(80_000, 140_000, 3)]},
+    }
+
+    def mk_samples():
+        out = []
+        for name, plan in plans.items():
+            bam = tmp_path / f"{name}.bam"
+            if not bam.exists():
+                make_bam(bam, np.random.default_rng(21), plan)
+            stype = {"father": "Father", "mother": "Mother",
+                     "proband": "Proband"}[name]
+            out.append(runner.Sample(name, str(bam), sample_type=stype))
+        return out
+
+    ctx = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "o"))
+    first = gzip.open(runner.small_pedigree_wgs(ctx, mk_samples())).read()
+
+    ctx2 = runner.WorkflowContext(
+        reference_folder=str(reference_dir), output_dir=str(tmp_path / "o"),
+        start_checkpoint="CanvasBin")
+    second = gzip.open(runner.small_pedigree_wgs(ctx2, mk_samples())).read()
+    ctx2.checkpointer.finish()
+
+    strip = lambda v: b"\n".join(
+        ln for ln in v.split(b"\n") if not ln.startswith(b"##fileDate"))
+    assert strip(first) == strip(second)
