@@ -168,7 +168,10 @@ def median_filter(values, half_window: int) -> np.ndarray:
 # Device (jnp) versions — masked, vmappable.  Same tie conventions.
 # ---------------------------------------------------------------------------
 
-_BIG = jnp.float32(3.4e38)
+# numpy scalar, NOT jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks jax.distributed.initialize() in
+# multi-host CLI runs (it must run before any backend init)
+_BIG = np.float32(3.4e38)
 
 
 def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -630,3 +630,50 @@ def test_small_pedigree_start_checkpoint_shared_bin_size(
     strip = lambda v: b"\n".join(
         ln for ln in v.split(b"\n") if not ln.startswith(b"##fileDate"))
     assert strip(first) == strip(second)
+
+
+def test_two_process_distributed_run_matches_single(reference_dir, tmp_path):
+    """REAL 2-process jax.distributed run of the production CLI
+    (--coordinator): each process BAM-scans only its contig shard and
+    all-gathers the observed tracks (runner.ingest_observed ->
+    distributed.my_contigs/all_gather_host_data); the resulting VCF must
+    match a single-process run byte for byte."""
+    import gzip
+    import os
+    import socket
+
+    bam_path = tmp_path / "s.bam"
+    make_bam(bam_path, np.random.default_rng(13), CNV_PLAN)
+
+    with socket.socket() as s:      # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    def args(outdir, extra):
+        return [sys.executable, "-m", "canvas_tpu", "Germline-WGS",
+                "-b", str(bam_path), "-n", "dist",
+                "-r", str(reference_dir), "-o", str(outdir)] + extra
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(Path(__file__).parent.parent)}
+    procs = [
+        subprocess.Popen(
+            args(tmp_path / f"out_p{i}",
+                 ["--coordinator", f"127.0.0.1:{port}",
+                  "--num-processes", "2", "--process-id", str(i)]),
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        for i in range(2)]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+
+    single = subprocess.run(
+        args(tmp_path / "out_single", []), env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, timeout=300)
+    assert single.returncode == 0
+
+    strip = lambda v: b"\n".join(
+        ln for ln in v.split(b"\n") if not ln.startswith(b"##fileDate"))
+    ref = strip(gzip.open(tmp_path / "out_single" / "dist_CNV.vcf.gz").read())
+    for i in range(2):
+        got = strip(gzip.open(tmp_path / f"out_p{i}" / "dist_CNV.vcf.gz").read())
+        assert got == ref, f"process {i} VCF differs from single-process run"
