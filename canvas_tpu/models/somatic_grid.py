@@ -236,8 +236,13 @@ def evaluate_grid_numpy(
                     p_v = v / nk
                     entropy[:, k] += np.where(present,
                                               -p_v * np.log(p_v), 0.0)
-            cdev = mean_dist.mean(axis=1)
-            med_dist_all = np.median(med_dist, axis=1)
+            # fully-masked clusters carry float-max distances
+            # (nan_to_num above); their mean/median overflows to inf with
+            # C# double IEEE semantics — the model just scores unusably
+            # bad — so the overflow is expected, not an error
+            with np.errstate(over="ignore"):
+                cdev = mean_dist.mean(axis=1)
+                med_dist_all = np.median(med_dist, axis=1)
             med_ent_all = np.median(entropy, axis=1)
             n_het = np.sum((med_dist > med_dist_all[:, None])
                            & (entropy > med_ent_all[:, None]), axis=1)
