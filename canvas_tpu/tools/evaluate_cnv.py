@@ -664,9 +664,10 @@ def main(argv=None) -> int:
                    help="only evaluate calls with DQ >= threshold (de novo)")
     p.add_argument("-s", "--split-by-size", action="store_true",
                    help="also report per size bin (0-5kb ... 500kb+)")
-    p.add_argument("--roi-bed", default=None,
-                   help="regions of interest for ROI accuracy metrics")
-    p.add_argument("--kmer-fa", default=None,
+    p.add_argument("-r", "--roi", "--roi-bed", dest="roi_bed", default=None,
+                   help="regions of interest for ROI accuracy metrics "
+                        "(reference -r/--roi)")
+    p.add_argument("-k", "--kmerFa", "--kmer-fa", dest="kmer_fa", default=None,
                    help="kmer.fa for skipping >=80%% unmappable truth CNVs "
                         "and for callability")
     p.add_argument("--sample-index", type=int, default=0)
