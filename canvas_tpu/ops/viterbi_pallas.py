@@ -33,9 +33,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-# chunk=512 x LANE_BLOCK=256 keeps the double-buffered emission block +
-# carries under the 16MB VMEM scoped limit; 512x512 overflows by ~200KB.
+# Default lane block for chunk=512 (the (chunk x S x lane_block) emission
+# block, double-buffered, plus the int8 path buffers must stay under the
+# 16MB VMEM scoped limit; 512x512 overflows by ~200KB).  The kernels are
+# SERIALIZATION-bound, not VPU-bound: each fori_loop step runs vector ops
+# over only [S, S, lane_block] elements, so for big workloads a SMALLER
+# chunk with a WIDER lane block (same VMEM) does the same element work in
+# fewer, fatter sequential steps — see _pick_chunk_lanes.
 LANE_BLOCK = 256
+
+
+def _pick_chunk_lanes(B: int, T: int, S: int, chunk: int | None):
+    """(chunk, lane_block) under the VMEM budget: prefer wide lane blocks
+    (fewer sequential fori_loop steps) when there are enough lanes
+    (lanes = B * ceil(T/chunk)) to fill them."""
+    if chunk is not None:               # caller pinned the chunk size
+        return chunk, LANE_BLOCK
+    for chunk, lanes in ((128, 1024), (256, 512)):
+        n_lanes = B * -(-T // chunk)
+        if n_lanes >= lanes:
+            return chunk, lanes
+    return 512, LANE_BLOCK
 
 
 def _select_by_index(idx, values):
@@ -199,22 +217,29 @@ def viterbi_decode_pallas(
     log_trans,              # [S, S] HOST array (baked into the kernels)
     log_init,               # [S] HOST array
     mask: jnp.ndarray,      # [B, T]; must be a prefix mask per lane
-    chunk: int = 512,
+    chunk: int | None = None,
 ) -> jnp.ndarray:
     """Drop-in replacement for hmm.viterbi_decode_chunked (same outputs).
 
     log_trans/log_init must be host constants — they unroll into the kernel
     body as scalars.  mask must be True-prefix per row (Canvas's padded-tail
-    masks always are)."""
+    masks always are).  chunk=None picks (chunk, lane_block) by workload
+    size; pass a chunk to pin it (lane block then stays at LANE_BLOCK)."""
     lt = tuple(tuple(float(x) for x in row) for row in np.asarray(log_trans))
     li = tuple(float(x) for x in np.asarray(log_init))
+    B, T, S = log_em.shape
+    chunk, lane_block = _pick_chunk_lanes(B, T, S, chunk)
     lengths = jnp.sum(mask.astype(jnp.int32), axis=1)      # [B]
     interpret = jax.default_backend() == "cpu"  # pallas CPU = interpreter
-    return _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, interpret)
+    return _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, interpret,
+                               lane_block)
 
 
-@partial(jax.jit, static_argnames=("lt", "li", "chunk", "interpret"))
-def _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, interpret):
+@partial(jax.jit,
+         static_argnames=("lt", "li", "chunk", "interpret", "lane_block"))
+def _viterbi_pallas_jit(log_em, lengths, lt, li, chunk, interpret,
+                        lane_block=LANE_BLOCK):
+    LANE_BLOCK = lane_block
     B, T, S = log_em.shape
     pad_t = (-T) % chunk
     if pad_t:
