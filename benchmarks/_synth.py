@@ -17,8 +17,16 @@ from pathlib import Path
 
 import numpy as np
 
-READ_LEN = 50
+READ_LEN = 50      # default; set_read_len() overrides (e.g. 150 for the
+                   # honest 60x-depth e2e row — real WGS reads are ~150bp)
 FLAG = 0x1 | 0x2 | 0x40  # paired, proper pair, first of pair
+
+
+def set_read_len(rl: int) -> None:
+    """Set the synthetic read length for every generator in this module
+    (record layout sizes derive from it)."""
+    global READ_LEN
+    READ_LEN = int(rl)
 
 
 def make_reference(ref_dir: Path, contig_lengths: dict[str, int],
@@ -84,7 +92,8 @@ def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
 
     Record layout (little-endian), constant-size per read:
       block_size(4) + 8 ints(32) + name(10: 'r' + 8 digits + NUL)
-      + cigar(4) + seq(25) + qual(50)  => 125 bytes total.
+      + cigar(4) + seq((READ_LEN+1)//2) + qual(READ_LEN)
+      => 125 bytes at the default READ_LEN=50, 275 at 150.
 
     per_contig_alt (optional): bool per read; alt reads carry all-'C'
     sequences instead of all-'A', so a pileup at a het site declared
@@ -103,7 +112,10 @@ def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
         header += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
 
     total = int(sum(len(p) for p in per_contig_pos))
-    rec_size = 125
+    seq_bytes = (READ_LEN + 1) // 2
+    seq_off = 50                      # 4 + 32 + 10 + 4
+    qual_off = seq_off + seq_bytes
+    rec_size = qual_off + READ_LEN
     payload_len = rec_size - 4
 
     ref_ids = np.concatenate([
@@ -142,13 +154,12 @@ def write_bam_vectorized(path: Path, refs: list[tuple[str, int]],
             # cigar 50M at [46:50]
             row[:, 46:50] = np.frombuffer(
                 struct.pack("<I", (READ_LEN << 4) | 0), np.uint8)
-            # seq: 25 bytes of 'AA' packed (code 1 = A) at [50:75]; alt
-            # reads are all-'C' (code 2 -> 0x22)
-            row[:, 50:75] = 0x11
+            # seq: packed 'AA' (code 1 = A); alt reads all-'C' (0x22)
+            row[:, seq_off:qual_off] = 0x11
             if alt_all is not None:
-                row[alt_all[s0:s1], 50:75] = 0x22
-            # qual: 30 at [75:125]
-            row[:, 75:125] = 30
+                row[alt_all[s0:s1], seq_off:qual_off] = 0x22
+            # qual: 30
+            row[:, qual_off:rec_size] = 30
             row[:, 4:8] = ref_ids[s0:s1, None].view(np.uint8).reshape(n, 4)
             row[:, 8:12] = poss[s0:s1, None].view(np.uint8).reshape(n, 4)
             _write_bgzf(f, row.tobytes())

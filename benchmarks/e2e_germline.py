@@ -37,8 +37,13 @@ HG19_MBP = [249, 243, 198, 191, 181, 171, 159, 146, 141, 136, 135, 134,
             115, 107, 103, 90, 81, 78, 59, 63, 48, 51, 155, 59]
 
 
-def build_inputs(cache: Path, mbp: int, rate: float, hg: bool = False):
-    key = cache / (f"hg{mbp}_r{rate}" if hg else f"g{mbp}_r{rate}")
+def build_inputs(cache: Path, mbp: int, rate: float, hg: bool = False,
+                 read_len: int = READ_LEN):
+    import _synth
+    _synth.set_read_len(read_len)
+    suffix = "" if read_len == 50 else f"_l{read_len}"
+    key = cache / ((f"hg{mbp}_r{rate}" if hg else f"g{mbp}_r{rate}")
+                   + suffix)
     ref_dir, bam = key / "ref", key / "sample.bam"
     plan_file = key / "plan.json"
     done = key / "done"
@@ -93,10 +98,21 @@ def main():
     ap.add_argument("--hg", action="store_true",
                     help="use hg19-like contig length distribution "
                          "(24 contigs; chr1 spans 8 device buckets)")
+    ap.add_argument("--read-len", type=int, default=50,
+                    help="synthetic read length; depth = rate * read_len "
+                         "(use --rate 0.4 --read-len 150 for a 60x run)")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="build/cache the inputs and exit (lets multi-hour "
+                         "generation run detached from the timed pipeline)")
     args = ap.parse_args()
 
     cache = Path(args.cache)
-    ref_dir, bam, plan = build_inputs(cache, args.mbp, args.rate, hg=args.hg)
+    ref_dir, bam, plan = build_inputs(cache, args.mbp, args.rate,
+                                      hg=args.hg, read_len=args.read_len)
+    if args.gen_only:
+        print(json.dumps({"generated": str(bam), "mbp": args.mbp,
+                          "depth": round(args.rate * args.read_len, 1)}))
+        return
 
     from canvas_tpu.pipeline import runner
 
@@ -125,6 +141,8 @@ def main():
     print(json.dumps({
         "metric": "germline WGS e2e wall-clock",
         "mbp": args.mbp, "value": round(wall, 2), "unit": "s",
+        "depth": round(args.rate * args.read_len, 1),
+        "read_len": args.read_len,
         "vcf": str(vcf),
         "mbp_per_s": round(args.mbp / wall, 2),
         "recall": round(m.recall, 2), "precision": round(m.precision, 2),

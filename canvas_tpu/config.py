@@ -111,6 +111,34 @@ DEFAULT_QSCORE_PARAMS = {
 
 DEFAULT = CanvasConfig()
 
+_COMPILE_CACHE_SET = [False]
+
+
+def enable_compilation_cache() -> None:
+    """Point XLA's persistent compilation cache at a local directory.
+
+    Kernel executables here are shape-bucketed (CBS frontier levels, packed
+    wire tracks), so a fresh process otherwise re-pays tens of seconds of
+    compiles per bucket; the on-disk cache makes every process after the
+    first start warm.  Opt out with CANVAS_TPU_COMPILE_CACHE=0."""
+    if _COMPILE_CACHE_SET[0]:
+        return
+    _COMPILE_CACHE_SET[0] = True
+    d = os.environ.get("CANVAS_TPU_COMPILE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "canvas_tpu_xla")
+    if d == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 _WARMUP_THREAD = None
 # bytes/s host->device, measured once by the warmup thread (None = unknown)
 _SESSION_H2D_BPS: list = [None]
@@ -154,6 +182,7 @@ def warm_device_session() -> "object | None":
     Returns the thread so callers can join() before timing-sensitive work.
     """
     global _WARMUP_THREAD
+    enable_compilation_cache()
     if _WARMUP_THREAD is not None:
         return _WARMUP_THREAD
     import threading

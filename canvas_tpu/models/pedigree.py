@@ -1026,6 +1026,13 @@ def call_pedigree_haplotype(
                 # proband genotype uses the parent shared-allele check
                 # (CanvasPedigreeCaller.cs:485-500); total-CN keys fall back
                 # to the ploidy-based version (:494).
+                # Deliberate deviation: the reference gates only on the
+                # proband (CanvasPedigreeCaller.cs:493) and would NRE on a
+                # phased proband with an unphased parent; we require all
+                # three phased before taking the phased path.  Genotypes
+                # from haplotype_pedigree_joint are homogeneous in arity,
+                # so the branch only differs on inputs the reference
+                # cannot handle.
                 phased = (len(chosen[proband]) == 2
                           and len(chosen[parents[0]]) == 2
                           and len(chosen[parents[1]]) == 2)

@@ -349,6 +349,35 @@ def model_points(model: PurityModel, ploidies: list[PloidyState]) -> None:
         p.mixed_haploid_coverage = p.copy_number * th + nh
 
 
+def write_cnv_modeling(path, ploidies: list["PloidyState"],
+                       infos: list["SegmentInfo"],
+                       coverage_weight: float, known_cn_fn=None) -> None:
+    """CNVModeling.txt debug dump (SomaticCaller.cs:1330-1358): the best
+    model's points (MAF, coverage, MCC/CN genotype), a blank line, then
+    every usable segment with its distance to the nearest model point.
+    ``plotSomaticModelMatrix.r`` / tools/plot_somatic_model.py read this.
+    known_cn_fn: CopyNumberOracle hook (GetKnownCNForSegment, :3235-3239);
+    -1 without a truth set."""
+    with open(path, "w") as f:
+        f.write("#MAF\tCoverage\tGenotype\n")
+        for p in ploidies:
+            gt = f"{p.major_count}/{p.copy_number}"
+            f.write(f"{p.mixed_maf:g}\t{p.mixed_coverage:g}\t{gt}\n")
+        f.write("\n")
+        f.write("#MAF\tCoverage\tBestDistance\tChromosome\tBegin\tEnd\t"
+                "Length\tTruthSetCN\n")
+        for info in infos:
+            best = min(
+                model_distance(info.coverage, p.mixed_coverage, info.maf,
+                               p.mixed_maf, coverage_weight)
+                for p in ploidies)
+            known = known_cn_fn(info.segment) if known_cn_fn else -1
+            seg = info.segment
+            f.write(f"{info.maf:g}\t{info.coverage:g}\t"
+                    f"{math.sqrt(best):g}\t{seg.chrom}\t{seg.begin}\t"
+                    f"{seg.end}\t{seg.end - seg.begin}\t{known}\n")
+
+
 def model_distance(cov1, cov2, maf1, maf2, coverage_weight: float):
     """GetModelDistance (:884-892): squared weighted distance; MAF-less
     segments get 2x the coverage term."""
@@ -1044,6 +1073,7 @@ def call_somatic(
     is_enrichment: bool = False,
     user_purity: float | None = None,
     clustering_mode: str = "MeanShift",
+    debug_dir=None,
 ) -> tuple[PurityModel, list[str]]:
     """Core somatic calling (CallCNVUsingSNVFrequency without file I/O).
 
@@ -1161,6 +1191,12 @@ def call_somatic(
     ploidies = initialize_ploidies(mean_coverage)
     model_deviation(model, ploidies, infos, cw, cluster_ids, n_clusters,
                     mean_coverage)
+    if debug_dir is not None:
+        from pathlib import Path
+
+        d = Path(debug_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        write_cnv_modeling(d / "CNVModeling.txt", ploidies, infos, cw)
     if clustering_mode == "GaussianMixture" and run_clustering:
         # GMM mode assigns by posterior under per-ploidy Gaussians fitted
         # on the chosen model's points (AssignPloidyCallsGaussianMixture,

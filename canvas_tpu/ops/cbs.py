@@ -412,6 +412,12 @@ def tmax_o(x: np.ndarray, tss: float, al0: int) -> tuple[float, int, int]:
         wvec = n / (rowlag * (n - rowlag)).astype(np.float64)
         bssv = wvec * dmax_rows ** 2
         bmax = float(bssv.max())
+        # Tie caveat: within a chunk, ties resolve to the first lag in scan
+        # order (below); across chunks, an exact float bss tie between a lag
+        # consumed in an earlier chunk of one side and a lag the scalar
+        # interleave would have visited earlier on the other side keeps the
+        # earlier-chunk winner.  400-case fuzzing found no such tie; the
+        # difference needs bit-identical bss at two different lags.
         if bmax > best:                            # ties: first in SCAN order
             best = bmax
             cand = np.flatnonzero(bssv == bmax)
@@ -798,7 +804,22 @@ def run_cbs(
 ) -> dict[str, np.ndarray]:
     """CBSRunner.Run equivalent: per-contig change points with deterministic
     per-contig RNG streams.  Returns contig -> segment lengths (in finite-bin
-    index space)."""
+    index space).
+
+    On accelerator backends the frontier device engine (ops/cbs_device.py)
+    runs instead: same algorithm, permutations/statistics on device with
+    threefry RNG (documented Monte-Carlo-level deviation).  Contigs longer
+    than 2^16 bins keep the host path (the dense device arc scan is
+    O(n^2); the host branch-and-bound prunes)."""
+    from canvas_tpu.ops import cbs_device
+
+    if (cbs_device.device_cbs_enabled()
+            and coverage_by_contig
+            and max(len(np.asarray(v)) for v in coverage_by_contig.values())
+            <= 65536):
+        return cbs_device.run_cbs_device(
+            coverage_by_contig, alpha=alpha, n_perm=n_perm,
+            undo_method=undo_method, seed=seed)
     sbdry = compute_boundary(n_perm, alpha, DEFAULT_ETA)
     finite = {k: np.asarray(v, np.float64)[np.isfinite(v)]
               for k, v in coverage_by_contig.items()}

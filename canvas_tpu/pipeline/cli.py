@@ -301,7 +301,13 @@ def main(argv=None) -> int:
     try:
         out = _dispatch(args, ctx, config, pop_vcf)
     except runner.StopAfterCheckpoint as e:
-        # -s/--stop-checkpoint: clean exit after the named stage
+        # -s/--stop-checkpoint: clean exit after the named stage — but a
+        # typo'd -c must still fail loudly on the truncated run
+        try:
+            ctx.checkpointer.finish(partial=True)
+        except ValueError as err:
+            print(f"Error: {err}", file=sys.stderr)
+            return 2
         print(f"[canvas_tpu] {e}", file=sys.stderr)
         return 0
     if isinstance(out, int):

@@ -88,7 +88,13 @@ class Checkpointer:
 
     def stage(self, name: str) -> None:
         """Stage-boundary notification (workflows call this at every
-        prof.stage entry)."""
+        prof.stage entry).
+
+        Stage names are assumed UNIQUE and non-re-entrant per workflow
+        (true of every current workflow): an A,B,A re-entry would not be
+        re-appended to _order, so numeric -c/-s specs could never match
+        the re-entry and the stop gate would key off the last distinct
+        name.  Give a repeated pass a distinct name (e.g. "bin:pass2")."""
         if self._stop_seen and name != self._order[-1]:
             raise StopAfterCheckpoint(self.stop_checkpoint)
         if not self._order or self._order[-1] != name:
@@ -106,14 +112,23 @@ class Checkpointer:
             return False                 # at/after -c: always re-run
         return self.resume and self.path(name).exists()
 
-    def finish(self) -> None:
+    def finish(self, partial: bool = False) -> None:
         """Called after a workflow completes: a -c/-s spec that never
         matched any stage is an error, not a silent no-op (otherwise a
-        typo'd -c loads every checkpoint and re-runs nothing)."""
+        typo'd -c loads every checkpoint and re-runs nothing).
+
+        With partial=True (a -s/--stop-checkpoint run that exited early)
+        only the start checkpoint is validated: the truncated run still
+        walked every stage up to the stop point, so a -c that never
+        matched is just as much a typo there — but later stages never ran,
+        so the stop spec itself is exempt (it necessarily matched to get
+        here)."""
         if self.start_checkpoint is not None and not self._started:
             raise ValueError(
                 f"--start-checkpoint {self.start_checkpoint!r} matched no "
                 f"stage; stages were: {', '.join(self._order)}")
+        if partial:
+            return
         if self.stop_checkpoint is not None and not self._stop_seen:
             raise ValueError(
                 f"--stop-checkpoint {self.stop_checkpoint!r} matched no "
@@ -841,7 +856,8 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
             model, headers = somatic_caller.call_somatic(
                 segs, genome_length, evenness_score=evenness,
                 somatic_vafs=vafs, ref_ploidy_fn=ploidy_fn,
-                is_enrichment=is_enrichment)
+                is_enrichment=is_enrichment,
+                debug_dir=Path(ctx.output_dir) / f"TempCNV_{tumor.name}")
         except Exception as e:
             import logging
 

@@ -190,3 +190,35 @@ def test_dedup_model_probe_logs_competitive_model(rng, capsys):
     else:
         # grid may legitimately pick the deduped interpretation outright
         assert best.ploidy == pytest.approx(2.0, abs=0.5)
+
+
+def test_cnv_modeling_file_and_plot(tmp_path, rng):
+    """write_cnv_modeling (SomaticCaller.cs:1330-1358 debug dump) +
+    tools/plot_somatic_model (plotSomaticModelMatrix.r port) round-trip."""
+    from canvas_tpu.tools import plot_somatic_model as psm
+
+    dip, purity = 100.0, 0.6
+    segs, _ = build_tumor(rng, purity, dip)
+    infos, _ = som.usable_segments_with_relaxation(segs)
+    ploidies = som.initialize_ploidies(dip)
+    model = som.PurityModel(dip, purity)
+    cw = som.coverage_weighting_factor(int(dip), None)
+    som.model_deviation(model, ploidies, infos, cw)
+    out = tmp_path / "TempCNV"
+    out.mkdir()
+    som.write_cnv_modeling(out / "CNVModeling.txt", ploidies, infos, cw)
+    text = (out / "CNVModeling.txt").read_text()
+    assert text.startswith("#MAF\tCoverage\tGenotype\n")
+    assert "\n\n#MAF\tCoverage\tBestDistance\tChromosome\tBegin\tEnd\t" \
+        "Length\tTruthSetCN\n" in text
+    expected, observed = psm.read_cnv_modeling(out / "CNVModeling.txt")
+    assert len(expected) == len(ploidies)
+    assert len(observed) == len(infos)
+    assert all(g.count("/") == 1 for _m, _c, g in expected)
+    # every observed row ends with TruthSetCN -1 (no oracle)
+    body = text.split("\n\n", 1)[1].splitlines()[1:]
+    assert all(line.endswith("\t-1") for line in body if line)
+    png = psm.plot_somatic_model(out, tmp_path / "plots")
+    assert png is not None and png.exists() and png.stat().st_size > 1000
+    # missing-file path mirrors the R script's message-and-exit
+    assert psm.plot_somatic_model(tmp_path / "nope", tmp_path) is None

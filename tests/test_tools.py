@@ -26,6 +26,52 @@ def test_metrics_perfect_calls(tmp_path):
     assert m.f1 == pytest.approx(1.0)
 
 
+def test_cn_above_max_clamps_to_bucket5(tmp_path):
+    """CNVEvaluator.cs:212,229: both truth and call CNs above MaxCn=5 clamp
+    to 5 BEFORE bucketing, so a CN=8 truth called CN=10 (or CN=6) lands in
+    base_count[5,5] and counts as a true positive, while a CN=4 truth
+    called CN=9 lands in [4,5] — a mismatch despite both being gains."""
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t2000\t8\nchr1\t5000\t6000\t4\n")
+    vcf = tmp_path / "calls.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tCanvas:GAIN:chr1:1001-2000\tN\t<CN10>\t30\tPASS\t"
+        "SVTYPE=CNV;END=2000\tGT:CN:QS:FT\t./1:10:30:PASS",
+        "chr1\t5000\tCanvas:GAIN:chr1:5001-6000\tN\t<CN9>\t30\tPASS\t"
+        "SVTYPE=CNV;END=6000\tGT:CN:QS:FT\t./1:9:30:PASS",
+    ]) + "\n")
+    known = ec.load_known_cn(truth)
+    calls = ec.load_cnv_calls(vcf)
+    counter = ec.BaseCounter()
+    ec.count_bases(known, calls, counter)
+    assert counter.base_count[5, 5, :].sum() == 1000   # 8->5 truth, 10->5 call
+    assert counter.base_count[4, 5, :].sum() == 1000   # 4 truth, 9->5 call
+    m = ec.calculate_metrics(counter)
+    # clamped-equal bases are true positives; 4-vs-9 is direction-correct
+    assert m.recall == pytest.approx(50.0)
+    assert m.direction_recall == pytest.approx(100.0)
+
+
+def test_cn6_call_on_cn8_truth_counts_correct(tmp_path):
+    """The clamp makes ANY call >= 5 'correct' for truth >= 5 — e.g. a
+    diploid caller's extrapolated CN=6 on a CN=8 truth region (reference
+    callers can emit CN up to 10).  Pin that equivalence class."""
+    truth = tmp_path / "truth.bed"
+    truth.write_text("chr1\t1000\t2000\t8\n")
+    vcf = tmp_path / "calls.vcf"
+    vcf.write_text("\n".join([
+        "##fileformat=VCFv4.1",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+        "chr1\t1000\tCanvas:GAIN:chr1:1001-2000\tN\t<CN6>\t30\tPASS\t"
+        "SVTYPE=CNV;END=2000\tGT:CN:QS:FT\t./1:6:30:PASS",
+    ]) + "\n")
+    m = ec.evaluate(truth, vcf)
+    assert m.recall == pytest.approx(100.0)
+    assert m.precision == pytest.approx(100.0)
+
+
 def test_metrics_partial_overlap(tmp_path):
     truth = tmp_path / "truth.bed"
     truth.write_text("chr1\t1000\t2000\t1\n")
