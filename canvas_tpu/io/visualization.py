@@ -82,22 +82,128 @@ def write_coverage_plot_data(
                 start = end
 
 
-def write_copy_number_bedgraph(path: str | Path,
-                               segments: list[Segment]) -> None:
-    """CN track (CanvasPedigreeCaller CopyNumberBedGraph)."""
-    with open(path, "w", newline="\n") as f:
-        for seg in segments:
-            f.write(f"{seg.chrom}\t{seg.begin}\t{seg.end}\t{seg.copy_number}\n")
+def _weighted_median_half(values, weights) -> float:
+    """Illumina.Common MathUtilities.WeightedMedian.Median: sort by value,
+    cut at half the total weight; a cut landing exactly on an item boundary
+    averages the straddling pair (so equal-weight {3/4, 2/8} -> 0.5, the
+    behavior NormalizedCoverageWriterTests.cs:120-150 pins).  Distinct from
+    ops.stats.weighted_median, which ports Utilities.WeightedQuantiles."""
+    v = np.asarray(values, dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    if len(v) == 0:
+        raise ValueError("weighted median of empty sequence")
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cum = np.cumsum(w)
+    half = cum[-1] / 2.0
+    k = int(np.searchsorted(cum, half))
+    if cum[k] == half and k + 1 < len(v):
+        return float((v[k] + v[k + 1]) / 2.0)
+    return float(v[k])
 
 
-def write_coverage_bedgraph(path: str | Path, segments: list[Segment]) -> None:
-    """Per-bin normalized coverage track."""
+def is_pass_variant(segment: Segment, ploidy=None) -> bool:
+    """CopyNumberBedGraphCalculator.IsPassVariant: PASS filter, and either
+    CN != reference ploidy or an LOH call (CN2 with MCC2)."""
+    if segment.filter_string != "PASS":
+        return False
+    ref_cn = (ploidy.reference_copy_number(segment.chrom, segment.begin,
+                                           segment.end)
+              if ploidy is not None else 2)
+    if segment.copy_number != ref_cn:
+        return True
+    return segment.copy_number == 2 and segment.major_chromosome_count == 2
+
+
+def copy_number_bedgraph_entries(segments: list[Segment], ploidy=None
+                                 ) -> list[tuple[str, int, int, int]]:
+    """CopyNumberBedGraphCalculator.Calculate: one entry per PASS variant
+    segment (reference-CN segments excluded, LOH included)."""
+    return [(s.chrom, s.begin, s.end, s.copy_number)
+            for s in segments if is_pass_variant(s, ploidy)]
+
+
+def compute_normalization_factor(segments: list[Segment]) -> float:
+    """NormalizationCalculator.ComputeNormalizationFactor: weighted median
+    (by bin count) of per-segment CN / median(bin counts) over PASS
+    segments (all segments when none pass), excluding CN=0; 0 when only
+    CN=0 segments remain."""
+    passing = [s for s in segments if s.filter_string == "PASS"]
+    est = [s for s in (passing or segments)
+           if s.copy_number != 0 and len(s.bin_counts)]
+    if not est:
+        if any(s.copy_number != 0 for s in (passing or segments)):
+            raise ValueError(
+                "cannot estimate a normalization factor: no candidate "
+                "segment carries bins")    # reference throws here too
+        return 0.0
+    factors = [s.copy_number
+               / _weighted_median_half(s.bin_counts,
+                                       np.ones(len(s.bin_counts)))
+               for s in est]
+    weights = [len(s.bin_counts) for s in est]
+    return _weighted_median_half(factors, weights)
+
+
+def normalized_bins_entries(segments: list[Segment],
+                            normalization_factor: float | None = None
+                            ) -> list[tuple[str, int, int, float]]:
+    """NormalizedBinsCoverageCalculator.Calculate: per-bin entries scaled
+    by the (possibly precomputed) normalization factor, so a CN0 genome
+    draws at 0 and a diploid genome draws at ~2."""
+    if not segments:
+        return []
+    if normalization_factor is None:
+        normalization_factor = compute_normalization_factor(segments)
+    out = []
+    for seg in segments:
+        if seg.bin_starts is None:
+            continue
+        for s, e, c in zip(seg.bin_starts, seg.bin_ends, seg.bin_counts):
+            out.append((seg.chrom, int(s), int(e),
+                        float(c) * normalization_factor))
+    return out
+
+
+def normalized_segments_entries(segments: list[Segment],
+                                normalization_factor: float | None = None
+                                ) -> list[tuple[str, int, int, float]]:
+    """NormalizedSegmentsCoverageCalculator.Calculate: one entry per
+    segment spanning [min bin start, max bin end] at
+    median(bin counts) * factor (plain middle-averaging median, matching
+    the reference's MathNet Median on its golden vectors)."""
+    if not segments:
+        return []
+    if normalization_factor is None:
+        normalization_factor = compute_normalization_factor(segments)
+    out = []
+    for seg in segments:
+        med = float(np.median(np.asarray(seg.bin_counts, np.float64)))
+        start = int(seg.bin_starts.min()) if seg.bin_starts is not None \
+            else seg.begin
+        end = int(seg.bin_ends.max()) if seg.bin_ends is not None \
+            else seg.end
+        out.append((seg.chrom, start, end, med * normalization_factor))
+    return out
+
+
+def write_copy_number_bedgraph(path: str | Path, segments: list[Segment],
+                               ploidy=None) -> None:
+    """CN track (CopyNumberBedGraphWriter): PASS variant segments only."""
     with open(path, "w", newline="\n") as f:
-        for seg in segments:
-            if seg.bin_starts is None:
-                continue
-            for s, e, c in zip(seg.bin_starts, seg.bin_ends, seg.bin_counts):
-                f.write(f"{seg.chrom}\t{s}\t{e}\t{c:.2f}\n")
+        for chrom, s, e, cn in copy_number_bedgraph_entries(segments, ploidy):
+            f.write(f"{chrom}\t{s}\t{e}\t{cn}\n")
+
+
+def write_coverage_bedgraph(path: str | Path, segments: list[Segment],
+                            normalization_factor: float | None = None
+                            ) -> None:
+    """Per-bin normalized coverage track (CoverageBedGraphWriter over
+    NormalizedBinsCoverageCalculator)."""
+    with open(path, "w", newline="\n") as f:
+        for chrom, s, e, v in normalized_bins_entries(segments,
+                                                      normalization_factor):
+            f.write(f"{chrom}\t{s}\t{e}\t{v:.2f}\n")
 
 
 def write_ballele_bedgraph(path: str | Path, segments: list[Segment]) -> None:

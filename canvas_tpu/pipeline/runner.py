@@ -650,7 +650,7 @@ def _write_visualization(ctx, sample_name, segments, diploid_coverage,
         out / f"{sample_name}_CNV.CoverageAndVariantFrequency.txt",
         segments, ctx.contigs, diploid_coverage, ploidy)
     viz.write_copy_number_bedgraph(
-        out / f"{sample_name}_CNV.CopyNumber.bedgraph", segments)
+        out / f"{sample_name}_CNV.CopyNumber.bedgraph", segments, ploidy)
     viz.write_ballele_bedgraph(
         out / f"{sample_name}_CNV.BAlleleFrequency.bedgraph", segments)
     cov_bg = out / f"{sample_name}_CNV.Coverage.bedgraph"

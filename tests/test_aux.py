@@ -75,8 +75,14 @@ def test_visualization_outputs(tmp_path):
     assert len(lines) == 4  # header + 3 points (250k / 100k)
     fields = lines[1].split("\t")
     assert fields[0] == "chr1" and fields[3] == "2"
+    # CN2 non-LOH segments are reference and excluded from the CN track
+    # (CopyNumberBedGraphCalculator.IsPassVariant)
     viz.write_copy_number_bedgraph(tmp_path / "cn.bedgraph", [seg])
-    assert (tmp_path / "cn.bedgraph").read_text().startswith("chr1\t0\t250000\t2")
+    assert (tmp_path / "cn.bedgraph").read_text() == ""
+    seg.copy_number = 1
+    viz.write_copy_number_bedgraph(tmp_path / "cn.bedgraph", [seg])
+    assert (tmp_path / "cn.bedgraph").read_text().startswith("chr1\t0\t250000\t1")
+    seg.copy_number = 2
     viz.write_ballele_bedgraph(tmp_path / "baf.bedgraph", [seg])
     assert "0.5" in (tmp_path / "baf.bedgraph").read_text()
 
