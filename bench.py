@@ -6,9 +6,11 @@ This is BASELINE.json's headline metric.  Two workloads:
     the fused emission + tropical-scan Viterbi step on one chip;
   * CBS: 24 contigs x 16k bins through the full recursive binary
     segmentation with permutation max-t kernels (the production
-    Somatic-Enrichment path; host-vectorized by design — the recursion's
-    data-dependent segment lengths would force a recompile per length on
-    device, see ops/cbs.py:htmax_p_batch).
+    Somatic-Enrichment path; device frontier engine — each recursion level
+    is one fused dispatch with on-device permutation generation, see
+    ops/cbs_device.py).  A full warmup run precedes the timed runs so the
+    power-of-two-bucketed executables compile outside the timed region
+    (they persist in the XLA compilation cache across processes).
 
 The headline value is the combined throughput (total bins / total time).
 Extra keys report each stage, the somatic purity-grid device throughput,
@@ -104,14 +106,20 @@ def bench_cbs():
         c[T // 2: T // 2 + 600] -= 1.2
         cov[f"chr{b}"] = c
     # the sequential-stopping boundary is an lru-cached startup constant
-    # (like an XLA compile); warm it outside the timed region
+    # (like an XLA compile); warm it outside the timed region, and run the
+    # engine once so every frontier-level executable is compiled (the
+    # recursion on identical data visits identical shape buckets)
     cbs.compute_boundary(cbs.DEFAULT_NPERM, cbs.DEFAULT_ALPHA,
                          cbs.DEFAULT_ETA)
-    t0 = time.perf_counter()
-    lengths = cbs.run_cbs(cov)
-    dt = time.perf_counter() - t0
+    warm = cbs.run_cbs(cov)
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        lengths = cbs.run_cbs(cov)
+        dt = min(dt, time.perf_counter() - t0)
     n_segs = sum(len(v) for v in lengths.values())
     assert n_segs >= B  # sanity: segmentation actually ran
+    assert all(np.array_equal(warm[k], lengths[k]) for k in cov)
     return B * T, dt
 
 
@@ -179,20 +187,117 @@ print(json.dumps({"t1": t1, "t8": t8,
 """
 
 
+_WORKFLOW_SCALING_CHILD = r"""
+import json, os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import gzip, tempfile
+from pathlib import Path
+import numpy as np
+from canvas_tpu.genome.reference import write_fasta
+from canvas_tpu.io import bam as bamio
+from canvas_tpu.pipeline import runner
+from canvas_tpu.tools.flag_unique_kmers import flag_unique_kmers
+
+L = 240_000
+contigs = ("chr1", "chr2", "chr3", "chr4", "chr5", "chr6", "chr7", "chr8")
+plans = {
+    "father": {"chr1": [(60_000, 120_000, 3)]},
+    "mother": {},
+    "proband": {"chr1": [(60_000, 120_000, 3)],
+                "chr2": [(40_000, 100_000, 1)]},
+}
+
+def make_bam(path, seed, plan):
+    refs = [(c, L) for c in contigs]
+    records = []
+    for ci, contig in enumerate(contigs):
+        cn = np.full(L, 2.0)
+        for s, e, c in plan.get(contig, []):
+            cn[s:e] = c
+        rng = np.random.default_rng(seed + ci)
+        n_reads = rng.poisson(0.25 * cn / 2.0)
+        k = 0
+        for pos in np.flatnonzero(n_reads):
+            for _ in range(int(n_reads[pos])):
+                records.append(bamio.BamRecord(
+                    ci, int(pos), 50, 0x1 | 0x2, f"r{ci}_{k}",
+                    [(50, "M")], "A" * 50, np.full(50, 30, np.uint8)))
+                k += 1
+    bamio.write_bam(path, refs, records)
+
+with tempfile.TemporaryDirectory() as td:
+    base = Path(td)
+    ref = base / "ref"; ref.mkdir()
+    rng = np.random.default_rng(42)
+    write_fasta(ref / "genome.fa",
+                {c: "".join(rng.choice(list("ACGT"), size=L))
+                 for c in contigs})
+    flag_unique_kmers(ref / "genome.fa", ref / "kmer.fa")
+    samples = []
+    for name, plan in plans.items():
+        bam = base / f"{name}.bam"
+        make_bam(bam, 1000, plan)
+        stype = {"father": "Father", "mother": "Mother",
+                 "proband": "Proband"}[name]
+        samples.append(runner.Sample(name, str(bam), sample_type=stype))
+
+    def run(tag):
+        ctx = runner.WorkflowContext(
+            reference_folder=str(ref), output_dir=str(base / tag))
+        t0 = time.perf_counter()
+        runner.small_pedigree_wgs(ctx, samples)
+        dt = time.perf_counter() - t0
+        stages = {}
+        for pf in sorted(Path(base / tag).glob("*_profile.json")):
+            for st in json.loads(pf.read_text()).get("stages", []):
+                stages[st["name"]] = round(
+                    stages.get(st["name"], 0.0) + st["seconds"], 3)
+        return dt, stages
+
+    run("warm")                      # compile both paths once
+    os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"] = "1"
+    run("warm1")
+    del os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"]
+    t8, st8 = run("out8")
+    os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"] = "1"
+    t1, st1 = run("out1")
+    print(json.dumps({"t1": t1, "t8": t8, "efficiency": t1 / (8 * t8),
+                      "stages_1dev": st1, "stages_8dev": st8}))
+"""
+
+
+def _run_child(code, timeout):
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            text=True, timeout=timeout)
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception:
+        return None
+
+
 def bench_scaling():
     """1 -> 8 virtual-device scaling of the sharded production decode.
 
     Run in a CPU subprocess (the real TPU here is one chip); on hardware
     with N chips the same sharded path rides ICI.  CPU devices share host
     cores, so this measures sharding overhead, not ideal speedup."""
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", _SCALING_CHILD], capture_output=True,
-            text=True, timeout=900)
-        line = out.stdout.strip().splitlines()[-1]
-        return json.loads(line)
-    except Exception:
-        return None
+    return _run_child(_SCALING_CHILD, 900)
+
+
+def bench_workflow_scaling():
+    """1 -> 8 virtual-device scaling of the WHOLE production
+    SmallPedigree-WGS workflow (tiny synthetic trio): exercises the real
+    collective pattern — bin-rate reductions, lane-sharded decode, gather —
+    not just the decode step.  Same honest caveat: virtual CPU devices
+    share this host's cores, so this validates the sharded path, it does
+    not measure ICI speedup."""
+    return _run_child(_WORKFLOW_SCALING_CHILD, 1800)
 
 
 def main():
@@ -205,9 +310,10 @@ def main():
     # (typically 45-400 s) keeps opening on the warmup thread while CBS
     # and the CPU-subprocess scaling run, so the device stages that follow
     # pay less of it on the critical path
-    cbs_bins, cbs_dt = bench_cbs()
+    wf_scaling = bench_workflow_scaling()
     scaling = bench_scaling()
     hmm_bins, hmm_dt = bench_hmm()
+    cbs_bins, cbs_dt = bench_cbs()
     grid_models, grid_segs, grid_dt = bench_somatic_grid()
 
     combined = (hmm_bins + cbs_bins) / (hmm_dt + cbs_dt)
@@ -228,6 +334,17 @@ def main():
             "note": "8 virtual devices share this host's CPU cores; "
                     "validates the sharded path end-to-end, does not "
                     "measure ICI speedup (1 real chip here)"}
+    if wf_scaling:
+        result["workflow_virtual_cpu_mesh_1to8"] = {
+            "t1_s": round(wf_scaling["t1"], 3),
+            "t8_s": round(wf_scaling["t8"], 3),
+            "efficiency": round(wf_scaling["efficiency"], 3),
+            "stages_1dev": wf_scaling.get("stages_1dev"),
+            "stages_8dev": wf_scaling.get("stages_8dev"),
+            "note": "full SmallPedigree-WGS workflow (synthetic trio) on "
+                    "virtual CPU devices sharing this host's cores; "
+                    "exercises the production collective pattern, does "
+                    "not measure ICI speedup (1 real chip here)"}
     print(json.dumps(result))
 
 

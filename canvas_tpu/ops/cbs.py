@@ -827,16 +827,56 @@ def run_cbs(
         return {}
     tsd = float(np.sqrt(trimmed_variance(finite)))
     # deterministic per-contig RNG streams drawn from a master seed
-    # (CBSRunner.cs:107-112).  Contigs run serially: the hot paths (tail-p
-    # integration, boundary walks) are GIL-bound Python, so a thread pool
-    # measurably HURTS here (2.5s serial vs 4.9s threaded on 8x16k bins);
-    # cross-contig parallelism belongs to the process/mesh layer.
+    # (CBSRunner.cs:107-112).  Per-contig seeds are drawn serially BEFORE
+    # any fan-out so parallel and serial runs see identical streams.
     seed_gen = np.random.default_rng(seed)
-    out = {}
-    for name, cov in coverage_by_contig.items():
-        rng = np.random.default_rng(seed_gen.integers(0, 2 ** 31 - 1))
-        lengths, _ = change_points(
-            cov, sbdry, rng, alpha=alpha, n_perm=n_perm,
-            trimmed_sd=tsd, undo_splits=undo_method)
-        out[name] = lengths
-    return out
+    items = [(name, cov, int(seed_gen.integers(0, 2 ** 31 - 1)))
+             for name, cov in coverage_by_contig.items()]
+    workers = _host_cbs_workers(len(items))
+    if workers > 1:
+        # The reference runs CBS per-chromosome over all cores
+        # (CBSRunner.cs:62-147, MaxDegreeOfParallelism).  Threads HURT here
+        # (GIL-bound tail-p/boundary walks: 2.5s serial vs 4.9s threaded on
+        # 8x16k bins, round-2 measurement), so fan out with forked
+        # PROCESSES: fork after the boundary/schedule caches are warm, so
+        # children inherit them copy-on-write and run pure numpy/scipy.
+        import multiprocessing as mp
+
+        args = [(cov, s, alpha, n_perm, tsd, undo_method, sbdry)
+                for _name, cov, s in items]
+        try:
+            with mp.get_context("fork").Pool(workers) as pool:
+                results = pool.starmap(_host_cbs_one, args)
+            return {name: lengths
+                    for (name, _c, _s), lengths in zip(items, results)}
+        except Exception:   # fork/pickle trouble -> identical serial path
+            pass
+    return {name: _host_cbs_one(cov, s, alpha, n_perm, tsd, undo_method,
+                                sbdry)
+            for name, cov, s in items}
+
+
+def _host_cbs_workers(n_contigs: int) -> int:
+    """Process fan-out for the host path: min(cores, contigs), opt-out via
+    CANVAS_TPU_CBS_PROCS=1 (serial) or =N; 1 when fork is unavailable."""
+    import os
+
+    if not hasattr(os, "fork"):
+        return 1
+    v = os.environ.get("CANVAS_TPU_CBS_PROCS", "auto")
+    if v != "auto":
+        try:
+            return max(1, int(v))
+        except ValueError:
+            return 1
+    return max(1, min(os.cpu_count() or 1, n_contigs))
+
+
+def _host_cbs_one(cov, contig_seed: int, alpha: float, n_perm: int,
+                  tsd: float, undo_method: str,
+                  sbdry: np.ndarray) -> np.ndarray:
+    rng = np.random.default_rng(contig_seed)
+    lengths, _ = change_points(
+        cov, sbdry, rng, alpha=alpha, n_perm=n_perm,
+        trimmed_sd=tsd, undo_splits=undo_method)
+    return lengths

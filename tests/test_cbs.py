@@ -115,3 +115,21 @@ def test_htmax_device_matches_numpy_oracle(rng):
         jnp.asarray(padded), jnp.asarray(n, jnp.int32),
         jnp.asarray(tss, jnp.float32), npad, 2, 25))
     np.testing.assert_allclose(dev, ref, rtol=5e-3)
+
+
+def test_host_cbs_process_pool_matches_serial(rng, monkeypatch):
+    """Forked per-contig fan-out (CBSRunner.cs Parallel.ForEach analogue)
+    must be bit-identical to the serial path: per-contig seeds are drawn
+    before the fan-out."""
+    monkeypatch.setenv("CANVAS_TPU_CBS_FRONTIER", "0")
+    cov = {}
+    for c in range(3):
+        r = rng.normal(0, 1, 1200)
+        r[300:600] += 3.0
+        cov[f"chr{c}"] = r
+    monkeypatch.setenv("CANVAS_TPU_CBS_PROCS", "1")
+    serial = cbs.run_cbs(cov, n_perm=500)
+    monkeypatch.setenv("CANVAS_TPU_CBS_PROCS", "2")
+    par = cbs.run_cbs(cov, n_perm=500)
+    for k in cov:
+        np.testing.assert_array_equal(serial[k], par[k])
