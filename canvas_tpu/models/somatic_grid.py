@@ -345,27 +345,28 @@ def evaluate_grid_device(
             return jnp.where(d_has_maf[None, :, None], dm, 2 * dc)
 
         mc = pt_cov.shape[0]
-        # --- RefineDiploidMAF (two-pass) ---
+        # --- RefineDiploidMAF (two-pass), fused: the per-balanced-point and
+        # per-level Python loops scatter/contract as single ops (an MXU
+        # one-hot contraction for the per-level segment sums) instead of
+        # unrolling into large HLO ---
         d = distances(pt_maf)
         best = jnp.argmin(d, axis=2)
-        m_sum = jnp.zeros((mc, n_lv))
-        m_w = jnp.zeros((mc, n_lv))
-        for k in np.flatnonzero(balanced):
-            lv = int(lv_of_point[k])
-            m_sum = m_sum.at[:, lv].add(dummy_weight * pt_maf[:, k])
-            m_w = m_w.at[:, lv].add(dummy_weight)
+        bal_idx = np.flatnonzero(balanced)
+        bal_lv = lv_of_point[bal_idx]
+        m_sum = jnp.zeros((mc, n_lv)).at[:, bal_lv].add(
+            dummy_weight * pt_maf[:, bal_idx])
+        m_w = jnp.zeros((mc, n_lv)).at[:, bal_lv].add(dummy_weight)
         contrib = d_has_maf[None, :] & (d_seg_maf >= 0.4)[None, :] \
             & jnp.asarray(balanced)[best]
         lv_best = jnp.asarray(lv_of_point)[best]
-        for lv in range(n_lv):
-            sel = contrib & (lv_best == lv)
-            m_sum = m_sum.at[:, lv].add(
-                jnp.sum(jnp.where(sel, d_seg_w * d_seg_maf, 0.0), axis=1))
-            m_w = m_w.at[:, lv].add(
-                jnp.sum(jnp.where(sel, d_seg_w, 0.0), axis=1))
-        for k in np.flatnonzero(balanced):
-            lv = int(lv_of_point[k])
-            pt_maf = pt_maf.at[:, k].set(m_sum[:, lv] / m_w[:, lv])
+        lv_onehot = jnp.where(
+            contrib[..., None],
+            (lv_best[..., None] == jnp.arange(n_lv)[None, None]
+             ).astype(pt_cov.dtype), 0.0)                   # [mc, N, n_lv]
+        m_sum = m_sum + jnp.einsum("mnl,n->ml", lv_onehot,
+                                   d_seg_w * d_seg_maf)
+        m_w = m_w + jnp.einsum("mnl,n->ml", lv_onehot, d_seg_w)
+        pt_maf = pt_maf.at[:, bal_idx].set(m_sum[:, bal_lv] / m_w[:, bal_lv])
 
         # --- assignment pass ---
         d = distances(pt_maf)

@@ -77,10 +77,17 @@ def _gather_center(contigs, cidx, lo, n, npad):
     return x, tss
 
 
-_TB = 256    # lag-block width for the branch-and-bound arc scan
+_TB = 256    # default lag-block width for the branch-and-bound arc scan
 
 
-def _tmax_one(cs, n, tss, npad, al0, tr=None):
+def _tb_for(npad: int) -> int:
+    """Lag-block width: larger blocks amortize the while-loop's
+    per-iteration overhead on big segments; small segments keep blocks
+    within their lag range."""
+    return 512 if npad >= 4096 else min(_TB, npad)
+
+
+def _tmax_one(cs, n, tss, npad, al0, tb=_TB):
     """(t^2, ti, tj) for one segment: CBSTStatistic.TMaxO with the host
     port's branch-and-bound, lag-major on device.  Lag blocks are consumed
     outside-in from whichever side has the higher weight (the host's exact
@@ -88,7 +95,6 @@ def _tmax_one(cs, n, tss, npad, al0, tr=None):
     w(next lag) * psdiff^2 cannot beat the running best — the global-range
     bound (a), which prunes noise segments to a handful of blocks.
     cs: [npad] cumsum of the centered segment."""
-    del tr
     nf = cs.dtype.type(1) * n
     big = jnp.finfo(cs.dtype).max
     validcs = jnp.arange(npad) < n
@@ -112,7 +118,7 @@ def _tmax_one(cs, n, tss, npad, al0, tr=None):
     # zero-extended cumsum so one dynamic_slice + static windows yields a
     # whole lag block with NO gathers (TPU gathers are ~100x slower than
     # the dense math they'd replace)
-    cs2 = jnp.concatenate([cs, jnp.zeros(npad + _TB, cs.dtype)])
+    cs2 = jnp.concatenate([cs, jnp.zeros(npad + tb, cs.dtype)])
 
     def cond(carry):
         lo, hi, best, _ti, _tj = carry
@@ -123,12 +129,12 @@ def _tmax_one(cs, n, tss, npad, al0, tr=None):
     def body(carry):
         lo, hi, best, ti, tj = carry
         from_hi = jnp.minimum(lo, n - lo) >= jnp.minimum(hi, n - hi)
-        l0 = jnp.where(from_hi, jnp.maximum(hi - _TB + 1, lo), lo)
-        lags = l0 + jnp.arange(_TB)                        # ascending
+        l0 = jnp.where(from_hi, jnp.maximum(hi - tb + 1, lo), lo)
+        lags = l0 + jnp.arange(tb)                         # ascending
         lag_ok = (lags >= lo) & (lags <= hi)
-        base = lax.dynamic_slice(cs2, (l0,), (npad + _TB,))
+        base = lax.dynamic_slice(cs2, (l0,), (npad + tb,))
         rows = jnp.stack([lax.slice_in_dim(base, k, k + npad)
-                          for k in range(_TB)])            # rows[k][i]=cs[i+l0+k]
+                          for k in range(tb)])             # rows[k][i]=cs[i+l0+k]
         d = rows - cs[None, :]
         ok = lag_ok[:, None] & (pos[None, :] + lags[:, None] <= n - 1)
         w = w_of(jnp.where(lag_ok, lags, 1))[:, None]
@@ -138,7 +144,7 @@ def _tmax_one(cs, n, tss, npad, al0, tr=None):
         bi = flat % npad
         bj = bi + lags[flat // npad]
         upd = m > best
-        return (jnp.where(from_hi, lo, lo + _TB),
+        return (jnp.where(from_hi, lo, lo + tb),
                 jnp.where(from_hi, l0 - 1, hi),
                 jnp.where(upd, m, best),
                 jnp.where(upd, bi + 1, ti), jnp.where(upd, bj + 1, tj))
@@ -238,9 +244,11 @@ def _level_kernel(contigs, cidx, lo, n, keys, alpha, npad, P, al0, kmax,
     x, tss = _gather_center(contigs, cidx, lo, n, npad)
     cs = jnp.cumsum(x, axis=1)
 
+    tb = _tb_for(npad)
+
     def tmax_one(args):
         csr, nn, ts = args
-        return _tmax_one(csr, nn, ts, npad, al0)
+        return _tmax_one(csr, nn, ts, npad, al0, tb)
 
     t2, ti, tj = lax.map(tmax_one, (cs, n, tss))
     p1 = _tail_p_batch_dev(jnp.sqrt(jnp.maximum(t2, 0.0)), n, kmax, n_grid)
@@ -371,10 +379,35 @@ def _pow2(v: int, floor: int = 8) -> int:
     return max(floor, 1 << (int(v) - 1).bit_length())
 
 
-def _seg_key(master, contig: int, lo: int, n: int):
-    k = jax.random.fold_in(master, contig)
-    k = jax.random.fold_in(k, lo)
-    return jax.random.fold_in(k, n)
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — a host-side bijective mixer (public domain,
+    Steele et al.)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1E4B7B97)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D9B149FB1AA02)
+    return x ^ (x >> np.uint64(31))
+
+
+def _seg_keys_np(seed: int, contig, lo, n, chunk) -> np.ndarray:
+    """[B, 2] uint32 threefry KEYS for (contig, segment, chunk) derived on
+    the host with SplitMix64 — jax.random.fold_in would be a tiny DEVICE
+    dispatch per segment (hundreds of tunnel round-trips per run).  A
+    threefry key is just 64 key bits; any deterministic injective
+    derivation gives an independent stream, so the mixer replaces the
+    fold-in chain (documented deviation from the package's fold_in
+    convention; same determinism guarantees)."""
+    contig = np.asarray(contig, np.uint64)
+    with np.errstate(over="ignore"):
+        h = _splitmix64(np.uint64(seed & 0xFFFFFFFFFFFF) * np.uint64(3)
+                        + np.uint64(0x5EED))
+        h = _splitmix64(h ^ (contig << np.uint64(40))
+                        ^ (np.asarray(lo, np.uint64) << np.uint64(20))
+                        ^ np.asarray(n, np.uint64))
+        h = _splitmix64(h + np.asarray(chunk, np.uint64))
+    out = np.empty(h.shape + (2,), np.uint32)
+    out[..., 0] = (h >> np.uint64(32)).astype(np.uint32)
+    out[..., 1] = (h & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return out
 
 
 def _edge_rng(seed: int, contig: int, lo: int, n: int, side: int):
@@ -466,7 +499,6 @@ def run_cbs_device(
     contigs_dev = jnp.asarray(
         np.stack([np.pad(r, (0, tmax_len - len(r))) for r in rows]
                  ).astype(np.float32))
-    master = jax.random.PRNGKey(seed)
 
     cps: dict[int, list[int]] = {c: [] for c in range(len(rows))}
     frontier = [_Seg(c, 0, len(r)) for c, r in enumerate(rows) if len(r)]
@@ -500,18 +532,14 @@ def run_cbs_device(
             cidx = np.zeros(Bp, np.int32)
             lo = np.zeros(Bp, np.int32)
             nn = np.full(Bp, 2 * min_width, np.int32)
-            keys = []
             for i, s in enumerate(segs):
                 cidx[i], lo[i], nn[i] = s.contig, s.lo, s.hi - s.lo
-                keys.append(jax.random.fold_in(
-                    _seg_key(master, s.contig, s.lo, s.hi - s.lo), 0))
-            while len(keys) < Bp:
-                keys.append(keys[-1])
+            keys = _seg_keys_np(seed, cidx, lo, nn, 0)
             full = (p_method != "hybrid"
                     or any((s.hi - s.lo) <= n_min for s in segs))
             out = _level_kernel(
                 contigs_dev, jnp.asarray(cidx), jnp.asarray(lo),
-                jnp.asarray(nn), jnp.stack(keys),
+                jnp.asarray(nn), jnp.asarray(keys),
                 jnp.asarray(alpha, jnp.float32), npad, P_CHUNK, min_width,
                 kmax, n_min if p_method == "hybrid" else (1 << 30),
                 100, full)
@@ -543,7 +571,7 @@ def run_cbs_device(
                 if out[i, 5] > 0.5:            # device pre-ran perm chunk 0
                     fused[id(seg)] = out[i, 6:]
                 pending.append((seg, i1, i2, ostat, nrejc, hybrid))
-        _walk_pending(pending, rows, contigs_dev, master, sbdry, n_perm,
+        _walk_pending(pending, rows, contigs_dev, sbdry, n_perm,
                       alpha, seed, min_width, kmax, cps, next_frontier,
                       fused)
         frontier = next_frontier
@@ -577,7 +605,7 @@ def _accept(seg, rows, i1, i2, n_perm, alpha, seed, cps, next_frontier,
         cps[seg.contig].append(seg.lo + c)
 
 
-def _walk_pending(pending, rows, contigs_dev, master, sbdry, n_perm, alpha,
+def _walk_pending(pending, rows, contigs_dev, sbdry, n_perm, alpha,
                   seed, min_width, kmax, cps, next_frontier,
                   fused=None):
     """Permutation tests for segments that need them: the level kernel's
@@ -610,7 +638,9 @@ def _walk_pending(pending, rows, contigs_dev, master, sbdry, n_perm, alpha,
             xs = np.zeros((Bp, npad), np.float32)
             nn = np.full(Bp, 2 * min_width, np.int32)
             tss = np.ones(Bp, np.float32)
-            keys = []
+            cidx = np.zeros(Bp, np.int64)
+            los = np.zeros(Bp, np.int64)
+            chunks = np.zeros(Bp, np.int64)
             for i, rec in enumerate(group):
                 walk, seg = rec[0], rec[1]
                 cur = rows[seg.contig][seg.lo: seg.hi]
@@ -618,13 +648,11 @@ def _walk_pending(pending, rows, contigs_dev, master, sbdry, n_perm, alpha,
                 xs[i, : len(x)] = x
                 nn[i] = len(x)
                 tss[i] = float(np.sum(x.astype(np.float64) ** 2))
-                keys.append(jax.random.fold_in(
-                    _seg_key(master, seg.contig, seg.lo, len(x)), rec[5]))
-            while len(keys) < Bp:
-                keys.append(jax.random.PRNGKey(0))
+                cidx[i], los[i], chunks[i] = seg.contig, seg.lo, rec[5]
+            keys = _seg_keys_np(seed, cidx, los, nn, chunks)
             stats = np.asarray(_perm_kernel(
                 jnp.asarray(xs), jnp.asarray(nn), jnp.asarray(tss),
-                jnp.stack(keys), npad, P_CHUNK, min_width, kmax, full),
+                jnp.asarray(keys), npad, P_CHUNK, min_width, kmax, full),
                 np.float64)
             for i, rec in enumerate(group):
                 walk = rec[0]
