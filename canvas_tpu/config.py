@@ -115,26 +115,17 @@ _COMPILE_CACHE_SET = [False]
 
 
 def enable_compilation_cache() -> None:
-    """Point XLA's persistent compilation cache at a local directory.
-
-    Kernel executables here are shape-bucketed (CBS frontier levels, packed
-    wire tracks), so a fresh process otherwise re-pays tens of seconds of
-    compiles per bucket; the on-disk cache makes every process after the
-    first start warm.  Opt out with CANVAS_TPU_COMPILE_CACHE=0."""
+    """Ensure the package-level persistent XLA compile cache is active
+    (canvas_tpu.__init__._enable_persistent_xla_cache configures it at
+    import; this just re-applies it for callers that tweaked jax config
+    afterwards).  Opt out with CANVAS_TPU_NO_XLA_CACHE=1."""
     if _COMPILE_CACHE_SET[0]:
         return
     _COMPILE_CACHE_SET[0] = True
-    d = os.environ.get("CANVAS_TPU_COMPILE_CACHE") or os.path.join(
-        os.path.expanduser("~"), ".cache", "canvas_tpu_xla")
-    if d == "0":
-        return
     try:
-        import jax
+        import canvas_tpu
 
-        os.makedirs(d, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
+        canvas_tpu._enable_persistent_xla_cache()
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 
