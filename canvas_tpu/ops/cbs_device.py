@@ -120,37 +120,59 @@ def _tmax_one(cs, n, tss, npad, al0, tb=_TB):
     # the dense math they'd replace)
     cs2 = jnp.concatenate([cs, jnp.zeros(npad + tb, cs.dtype)])
 
-    def cond(carry):
-        lo, hi, best, _ti, _tj = carry
-        from_hi = jnp.minimum(lo, n - lo) >= jnp.minimum(hi, n - hi)
-        w_first = w_of(jnp.where(from_hi, hi, lo))
-        return (lo <= hi) & (w_first * psd2 > best)
-
-    def body(carry):
-        lo, hi, best, ti, tj = carry
-        from_hi = jnp.minimum(lo, n - lo) >= jnp.minimum(hi, n - hi)
-        l0 = jnp.where(from_hi, jnp.maximum(hi - tb + 1, lo), lo)
+    def block_bss(l0):
+        """Masked bss matrix for the tb lags starting at l0 (window trick:
+        one dynamic_slice + static slices, no gathers)."""
         lags = l0 + jnp.arange(tb)                         # ascending
-        lag_ok = (lags >= lo) & (lags <= hi)
+        lag_ok = (lags >= al0) & (lags <= lag_hi)
         base = lax.dynamic_slice(cs2, (l0,), (npad + tb,))
         rows = jnp.stack([lax.slice_in_dim(base, k, k + npad)
                           for k in range(tb)])             # rows[k][i]=cs[i+l0+k]
         d = rows - cs[None, :]
         ok = lag_ok[:, None] & (pos[None, :] + lags[:, None] <= n - 1)
         w = w_of(jnp.where(lag_ok, lags, 1))[:, None]
-        bss = jnp.where(ok, w * d * d, -1.0)
-        m = jnp.max(bss)
-        flat = jnp.argmax(bss)
-        bi = flat % npad
-        bj = bi + lags[flat // npad]
+        return jnp.where(ok, w * d * d, -1.0), lags
+
+    def body(carry):
+        # the hot loop tracks only (max, winning block start); the argmax
+        # pass re-runs once on the winner after the loop.  (A conditional
+        # narrow-width variant for near-n lags was tried and measured
+        # SLOWER: a lax.cond in the hot body defeats fusion.)
+        lo, hi, best, bl0 = carry
+        from_hi = jnp.minimum(lo, n - lo) >= jnp.minimum(hi, n - hi)
+        l0 = jnp.where(from_hi, jnp.maximum(hi - tb + 1, lo), lo)
+        lags = l0 + jnp.arange(tb)
+        lag_ok = (lags >= lo) & (lags <= hi)
+        w = w_of(jnp.where(lag_ok, lags, 1))[:, None]
+        base = lax.dynamic_slice(cs2, (l0,), (npad + tb,))
+        rows = jnp.stack([lax.slice_in_dim(base, k, k + npad)
+                          for k in range(tb)])
+        d = rows - cs[None, :]
+        ok = lag_ok[:, None] & (pos[None, :] + lags[:, None] <= n - 1)
+        m = jnp.max(jnp.where(ok, w * d * d, -1.0))
         upd = m > best
         return (jnp.where(from_hi, lo, lo + tb),
                 jnp.where(from_hi, l0 - 1, hi),
-                jnp.where(upd, m, best),
-                jnp.where(upd, bi + 1, ti), jnp.where(upd, bj + 1, tj))
+                jnp.where(upd, m, best), jnp.where(upd, l0, bl0))
 
-    _lo, _hi, best, ti, tj = lax.while_loop(
-        cond, body, (jnp.asarray(al0, imin.dtype), lag_hi, seed, ti0, tj0))
+    def cond2(carry):
+        lo, hi, best, _bl0 = carry
+        from_hi = jnp.minimum(lo, n - lo) >= jnp.minimum(hi, n - hi)
+        w_first = w_of(jnp.where(from_hi, hi, lo))
+        return (lo <= hi) & (w_first * psd2 > best)
+
+    _lo, _hi, best, bl0 = lax.while_loop(
+        cond2, body,
+        (jnp.asarray(al0, imin.dtype), lag_hi, seed,
+         jnp.asarray(-1, imin.dtype)))
+
+    def refine(_):
+        bss, lags = block_bss(bl0)
+        flat = jnp.argmax(bss)
+        bi = flat % npad
+        return bi + 1, bi + lags[flat // npad] + 1
+
+    ti, tj = lax.cond(bl0 >= 0, refine, lambda _: (ti0, tj0), None)
     tssv = jnp.where(tss <= best + 1e-4, best + 1.0, tss)
     t2 = best / ((tssv - best) / jnp.maximum(nf - 2.0, 1.0))
     return t2, ti, tj
@@ -510,22 +532,13 @@ def run_cbs_device(
             if len(cur) >= 2 * min_width and cur.max() != cur.min():
                 analyze.append(seg)
         next_frontier: list[_Seg] = []
-        # two merged buckets per level (small <= 2048, large at the level's
-        # max pow2): the branch-and-bound scan makes over-padding cheap,
-        # and fewer dispatches beat tighter padding on a tunneled device
+        # ONE merged dispatch per level at the level's max pow2 padding:
+        # the branch-and-bound scan makes over-padding cheap (iteration
+        # count tracks each segment's own lag range), and every saved
+        # dispatch saves a device round-trip
         buckets: dict[int, list[_Seg]] = {}
-        for seg in analyze:
-            npad = _pow2(seg.hi - seg.lo)
-            buckets.setdefault(min(npad, 2048) if npad <= 2048 else npad,
-                               []).append(seg)
-        small = [s for k in list(buckets) if k <= 2048
-                 for s in buckets.pop(k)]
-        if small:
-            buckets[max(_pow2(s.hi - s.lo) for s in small)] = small
-        large = [s for k in list(buckets) if k > 2048
-                 for s in buckets.pop(k)]
-        if large:
-            buckets[max(_pow2(s.hi - s.lo) for s in large)] = large
+        if analyze:
+            buckets[max(_pow2(s.hi - s.lo) for s in analyze)] = analyze
         dispatches = []
         for npad, segs in sorted(buckets.items()):
             Bp = _pow2(len(segs), floor=1)
@@ -537,10 +550,13 @@ def run_cbs_device(
             keys = _seg_keys_np(seed, cidx, lo, nn, 0)
             full = (p_method != "hybrid"
                     or any((s.hi - s.lo) <= n_min for s in segs))
+            # bigger speculative chunk on small-padded levels: most walks
+            # then terminate without a continuation dispatch
+            p0 = 768 if npad <= 8192 else P_CHUNK
             out = _level_kernel(
                 contigs_dev, jnp.asarray(cidx), jnp.asarray(lo),
                 jnp.asarray(nn), jnp.asarray(keys),
-                jnp.asarray(alpha, jnp.float32), npad, P_CHUNK, min_width,
+                jnp.asarray(alpha, jnp.float32), npad, p0, min_width,
                 kmax, n_min if p_method == "hybrid" else (1 << 30),
                 100, full)
             dispatches.append((segs, out))     # async; fetch below
@@ -618,7 +634,7 @@ def _walk_pending(pending, rows, contigs_dev, sbdry, n_perm, alpha,
         walk = _PermWalk(ostat, nrejc, n_perm, sbdry)
         chunk0 = fused.get(id(seg))
         if chunk0 is not None:
-            walk.feed(chunk0[: min(P_CHUNK, n_perm)])
+            walk.feed(chunk0[: min(len(chunk0), n_perm)])
             if walk.accepted is None and walk.np_i >= n_perm:
                 walk.accepted = True
             next_chunk = 1
