@@ -49,6 +49,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from canvas_tpu.ops import cbs as _cbs
 from canvas_tpu.ops import stats as _stats
@@ -178,6 +180,164 @@ def _tmax_one(cs, n, tss, npad, al0, tb=_TB):
     return t2, ti, tj
 
 
+# ---------------------------------------------------------------------------
+# Pallas arc-scan: the TMaxO max phase with cs resident in VMEM
+# ---------------------------------------------------------------------------
+
+_PTBL = 128   # lags per pallas grid block
+
+
+def _arc_scan_kernel(cs2_ref, cs_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
+                     best_ref, bl0_ref, *, npad, al0, tbl):
+    """Grid (B, NBLK): sequential lag blocks per segment, outside-in
+    interleaved (even k = low side ascending, odd k = high side
+    descending), with the branch-and-bound block skip evaluated per block
+    against the running best.  cs stays VMEM-resident across a segment's
+    whole scan; per-lag shifted reads come from the zero-extended cs2 row
+    — no HBM temporaries, no gathers."""
+    k = pl.program_id(1)
+    n = n_ref[0]
+    lag_hi = laghi_ref[0]
+    psd2 = psd2_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        best_ref[0] = seed_ref[0]
+        bl0_ref[0] = -1
+
+    side = k % 2
+    idx = k // 2
+    l0_lo = al0 + idx * tbl
+    l0_hi = jnp.maximum(lag_hi - (idx + 1) * tbl + 1, al0)
+    l0 = jnp.where(side == 0, l0_lo, l0_hi)
+    # most-outside lag of this block carries its highest weight; skip the
+    # block when that bound cannot beat the running best (bound (a) of the
+    # host branch-and-bound)
+    L_out = jnp.clip(jnp.where(side == 0, l0, l0 + tbl - 1), 1,
+                     jnp.maximum(n - 1, 1))
+    nf = n.astype(jnp.float32)
+    w_out = nf / (L_out.astype(jnp.float32) * (nf - L_out.astype(jnp.float32)))
+    best = best_ref[0]
+    in_range = (l0 <= lag_hi) & (l0 + tbl - 1 >= al0)
+
+    @pl.when(in_range & (w_out * psd2 > best))
+    def _():
+        cs = cs_ref[0, :]                                   # [npad]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)[0]
+
+        def lag_body(t, carry):
+            m = carry
+            L = l0 + t
+            shifted = cs2_ref[0, pl.ds(L, npad)]
+            d = shifted - cs
+            ok = (pos <= n - 1 - L)
+            Lf = jnp.clip(L, 1, jnp.maximum(n - 1, 1)).astype(jnp.float32)
+            w = nf / (Lf * (nf - Lf))
+            live = (L >= al0) & (L <= lag_hi)
+            mt = jnp.max(jnp.where(ok, w * d * d, -1.0))
+            return jnp.where(live, jnp.maximum(m, mt), m)
+
+        m = jax.lax.fori_loop(0, tbl, lag_body,
+                              jnp.asarray(-1.0, jnp.float32))
+
+        @pl.when(m > best_ref[0])
+        def _():
+            best_ref[0] = m
+            bl0_ref[0] = l0
+
+
+@partial(jax.jit, static_argnames=("npad", "al0", "tbl", "interpret"))
+def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
+                     interpret):
+    """[B] (best, bl0) via the pallas kernel; cs2 is [B, 2*npad]."""
+    B = cs.shape[0]
+    nblk = 2 * ((npad + tbl - 1) // tbl)
+    grid = (B, nblk)
+    out = pl.pallas_call(
+        partial(_arc_scan_kernel, npad=npad, al0=al0, tbl=tbl),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2 * npad), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad), lambda b, k: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda b, k: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, k: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, k: (b,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, k: (b,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1,), lambda b, k: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda b, k: (b,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B,), jnp.float32),
+                   jax.ShapeDtypeStruct((B,), jnp.int32)],
+        interpret=interpret,
+    )(cs2, cs, n, lag_hi, seed, psd2)
+    return out
+
+
+def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
+    """Batched TMaxO via the pallas arc scan: vectorized seeds, one pallas
+    sweep for the max phase, then a single argmax-refinement block per
+    segment.  Same statistics as lax.map(_tmax_one) (float max is
+    order-independent); only exact-tie winners can differ (documented)."""
+    B = cs_mat.shape[0]
+    tbl = _PTBL
+    big = jnp.finfo(cs_mat.dtype).max
+    valid = jnp.arange(npad)[None, :] < n[:, None]
+    imin = jnp.argmin(jnp.where(valid, cs_mat, big), axis=1)
+    imax = jnp.argmax(jnp.where(valid, cs_mat, -big), axis=1)
+    cmin = jnp.take_along_axis(cs_mat, imin[:, None], axis=1)[:, 0]
+    cmax = jnp.take_along_axis(cs_mat, imax[:, None], axis=1)[:, 0]
+    psdiff = cmax - cmin
+    nf = n.astype(cs_mat.dtype)
+    rjs = jnp.maximum(jnp.abs(imax - imin), 1).astype(cs_mat.dtype)
+    seed = jnp.where(psdiff > 0, nf / (rjs * (nf - rjs)) * psdiff * psdiff,
+                     0.0)
+    ti0 = jnp.minimum(imin, imax).astype(jnp.int32) + 1
+    tj0 = jnp.maximum(imin, imax).astype(jnp.int32) + 1
+    lag_hi = jnp.minimum(n - al0, n - 1).astype(jnp.int32)
+    # shifted reads cover [L, L + npad) for L up to npad: zero-extend to 2x
+    cs2 = jnp.pad(cs_mat, ((0, 0), (0, npad)))
+    best, bl0 = _arc_scan_pallas(
+        cs2, cs_mat, n.astype(jnp.int32), lag_hi, seed.astype(jnp.float32),
+        (psdiff * psdiff).astype(jnp.float32), npad, al0, tbl, interpret)
+
+    pos = jnp.arange(npad)
+
+    def refine_one(args):
+        csr, cs2r, nn, lh, b0, t0, j0 = args
+
+        def hit(_):
+            lags = b0 + jnp.arange(tbl)
+            lag_ok = (lags >= al0) & (lags <= lh)
+            base = lax.dynamic_slice(cs2r, (b0,), (npad + tbl,))
+            rows = jnp.stack([lax.slice_in_dim(base, k, k + npad)
+                              for k in range(tbl)])
+            d = rows - csr[None, :]
+            ok = lag_ok[:, None] & (pos[None, :] + lags[:, None] <= nn - 1)
+            nnf = csr.dtype.type(1) * nn
+            lf = jnp.maximum(jnp.where(lag_ok, lags, 1), 1
+                             ).astype(csr.dtype)
+            w = (nnf / (lf * (nnf - lf)))[:, None]
+            bss = jnp.where(ok, w * d * d, -1.0)
+            flat = jnp.argmax(bss)
+            bi = (flat % npad).astype(jnp.int32)
+            return bi + 1, bi + lags[flat // npad].astype(jnp.int32) + 1
+
+        return lax.cond(b0 >= 0, hit, lambda _: (t0, j0), None)
+
+    ti, tj = lax.map(refine_one, (cs_mat, cs2, n, lag_hi, bl0, ti0, tj0))
+    tssv = jnp.where(tss <= best + 1e-4, best + 1.0, tss)
+    t2 = best / ((tssv - best) / jnp.maximum(nf - 2.0, 1.0))
+    return t2, ti, tj
+
+
 def _ndtr(z):
     return 0.5 * lax.erfc(-z / np.sqrt(2.0))
 
@@ -250,9 +410,10 @@ def _analyze_kernel(contigs, cidx, lo, n, npad, al0, kmax, n_grid, tr):
 
 
 @partial(jax.jit, static_argnames=("npad", "P", "al0", "kmax", "n_min",
-                                   "n_grid", "full"))
+                                   "n_grid", "full", "pallas_scan",
+                                   "interpret"))
 def _level_kernel(contigs, cidx, lo, n, keys, alpha, npad, P, al0, kmax,
-                  n_min, n_grid, full):
+                  n_min, n_grid, full, pallas_scan=False, interpret=False):
     """Fused frontier level, ONE output array [Bp, 6 + P]:
     ``[t2, ti, tj, p1, tss, perm_flag, pstats...]`` per segment.
 
@@ -266,13 +427,16 @@ def _level_kernel(contigs, cidx, lo, n, keys, alpha, npad, P, al0, kmax,
     x, tss = _gather_center(contigs, cidx, lo, n, npad)
     cs = jnp.cumsum(x, axis=1)
 
-    tb = _tb_for(npad)
+    if pallas_scan:
+        t2, ti, tj = _tmax_batch_pallas(cs, n, tss, npad, al0, interpret)
+    else:
+        tb = _tb_for(npad)
 
-    def tmax_one(args):
-        csr, nn, ts = args
-        return _tmax_one(csr, nn, ts, npad, al0, tb)
+        def tmax_one(args):
+            csr, nn, ts = args
+            return _tmax_one(csr, nn, ts, npad, al0, tb)
 
-    t2, ti, tj = lax.map(tmax_one, (cs, n, tss))
+        t2, ti, tj = lax.map(tmax_one, (cs, n, tss))
     p1 = _tail_p_batch_dev(jnp.sqrt(jnp.maximum(t2, 0.0)), n, kmax, n_grid)
 
     ostat1 = jnp.sqrt(jnp.maximum(t2, 0.0))
@@ -558,7 +722,8 @@ def run_cbs_device(
                 jnp.asarray(nn), jnp.asarray(keys),
                 jnp.asarray(alpha, jnp.float32), npad, p0, min_width,
                 kmax, n_min if p_method == "hybrid" else (1 << 30),
-                100, full)
+                100, full, pallas_scan=_use_pallas_scan(),
+                interpret=jax.default_backend() == "cpu")
             dispatches.append((segs, out))     # async; fetch below
         pending: list[tuple[_Seg, int, int, float, int, bool]] = []
         fused: dict[int, np.ndarray] = {}
@@ -698,6 +863,22 @@ def _debug_perm_stats(x: np.ndarray, n: int, tss: float, key, npad: int,
     else:
         st = _htmax_core(cs, nn, ts, npad, al0, kmax)
     return np.asarray(px), np.asarray(st)
+
+
+def _use_pallas_scan() -> bool:
+    """Arc-scan implementation: pallas on accelerators (VMEM-resident cs,
+    no HBM temporaries), the XLA while-loop elsewhere.  Override with
+    CANVAS_TPU_CBS_PALLAS=0/1 (1 on CPU runs the pallas interpreter —
+    slow, test-only)."""
+    v = os.environ.get("CANVAS_TPU_CBS_PALLAS", "auto")
+    if v == "1":
+        return True
+    if v == "0":
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def device_cbs_enabled() -> bool:
