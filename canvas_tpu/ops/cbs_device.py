@@ -189,61 +189,60 @@ _PTBL = 128   # lags per pallas grid block
 
 def _arc_scan_kernel(cs2_ref, cs_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
                      best_ref, bl0_ref, *, npad, al0, tbl):
-    """Grid (B, NBLK): sequential lag blocks per segment, outside-in
-    interleaved (even k = low side ascending, odd k = high side
-    descending), with the branch-and-bound block skip evaluated per block
-    against the running best.  cs stays VMEM-resident across a segment's
-    whole scan; per-lag shifted reads come from the zero-extended cs2 row
-    — no HBM temporaries, no gathers."""
+    """Grid (B, NBLK): sequential 128-aligned lag blocks per segment, each
+    predicated on the branch-and-bound bound against the running best
+    (carried in the revisited output block).  cs stays VMEM-resident
+    across a segment's whole scan; the block reads ONE aligned window of
+    the zero-extended cs2 row and every per-lag shift is a static value
+    slice — Mosaic's lane dimension only allows 128-aligned dynamic
+    starts, so unaligned shifted loads are restructured away entirely."""
+    b = pl.program_id(0)
     k = pl.program_id(1)
-    n = n_ref[0]
-    lag_hi = laghi_ref[0]
-    psd2 = psd2_ref[0]
+    n = n_ref[b, 0]
+    lag_hi = laghi_ref[b, 0]
+    psd2 = psd2_ref[b, 0]
 
     @pl.when(k == 0)
     def _():
-        best_ref[0] = seed_ref[0]
-        bl0_ref[0] = -1
+        best_ref[b, 0] = seed_ref[b, 0]
+        bl0_ref[b, 0] = -1
 
-    side = k % 2
-    idx = k // 2
-    l0_lo = al0 + idx * tbl
-    l0_hi = jnp.maximum(lag_hi - (idx + 1) * tbl + 1, al0)
-    l0 = jnp.where(side == 0, l0_lo, l0_hi)
-    # most-outside lag of this block carries its highest weight; skip the
-    # block when that bound cannot beat the running best (bound (a) of the
-    # host branch-and-bound)
-    L_out = jnp.clip(jnp.where(side == 0, l0, l0 + tbl - 1), 1,
-                     jnp.maximum(n - 1, 1))
+    l0 = k * tbl                 # static multiple of 128 per grid step
+    # the bound uses the highest-weight lag the block CAN contain: weight
+    # is U-shaped over [1, n-1], so it peaks at a block endpoint
     nf = n.astype(jnp.float32)
-    w_out = nf / (L_out.astype(jnp.float32) * (nf - L_out.astype(jnp.float32)))
-    best = best_ref[0]
+
+    def w_of(L):
+        Lf = jnp.clip(L, 1, jnp.maximum(n - 1, 1)).astype(jnp.float32)
+        return nf / (Lf * (nf - Lf))
+
+    w_bound = jnp.maximum(w_of(jnp.maximum(l0, al0)),
+                          w_of(jnp.minimum(l0 + tbl - 1, lag_hi)))
+    best = best_ref[b, 0]
     in_range = (l0 <= lag_hi) & (l0 + tbl - 1 >= al0)
 
-    @pl.when(in_range & (w_out * psd2 > best))
+    @pl.when(in_range & (w_bound * psd2 > best))
     def _():
-        cs = cs_ref[0, :]                                   # [npad]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)[0]
+        cs = cs_ref[0, 0:1, :]                              # [1, npad]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
+        win = cs2_ref[0, 0:1, pl.ds(pl.multiple_of(l0, 128), npad + tbl)]
 
-        def lag_body(t, carry):
-            m = carry
+        def lag_body(t, m):
             L = l0 + t
-            shifted = cs2_ref[0, pl.ds(L, npad)]
-            d = shifted - cs
+            d = win[:, t: t + npad] - cs    # static slice: t is unrolled
             ok = (pos <= n - 1 - L)
-            Lf = jnp.clip(L, 1, jnp.maximum(n - 1, 1)).astype(jnp.float32)
-            w = nf / (Lf * (nf - Lf))
             live = (L >= al0) & (L <= lag_hi)
-            mt = jnp.max(jnp.where(ok, w * d * d, -1.0))
+            mt = jnp.max(jnp.where(ok, w_of(L) * d * d, -1.0))
             return jnp.where(live, jnp.maximum(m, mt), m)
 
-        m = jax.lax.fori_loop(0, tbl, lag_body,
-                              jnp.asarray(-1.0, jnp.float32))
+        m = jnp.asarray(-1.0, jnp.float32)
+        for t in range(tbl):
+            m = lag_body(t, m)
 
-        @pl.when(m > best_ref[0])
+        @pl.when(m > best_ref[b, 0])
         def _():
-            best_ref[0] = m
-            bl0_ref[0] = l0
+            best_ref[b, 0] = m
+            bl0_ref[b, 0] = l0
 
 
 @partial(jax.jit, static_argnames=("npad", "al0", "tbl", "interpret"))
@@ -251,34 +250,37 @@ def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
                      interpret):
     """[B] (best, bl0) via the pallas kernel; cs2 is [B, 2*npad]."""
     B = cs.shape[0]
-    nblk = 2 * ((npad + tbl - 1) // tbl)
+    nblk = max((npad + tbl - 1) // tbl, 1)
     grid = (B, nblk)
     out = pl.pallas_call(
         partial(_arc_scan_kernel, npad=npad, al0=al0, tbl=tbl),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2 * npad), lambda b, k: (b, 0),
+            pl.BlockSpec((1, 1, 2 * npad), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad), lambda b, k: (b, 0),
+            pl.BlockSpec((1, 1, npad), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda b, k: (b,),
+            pl.BlockSpec((B, 1), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, k: (b,),
+            pl.BlockSpec((B, 1), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, k: (b,),
+            pl.BlockSpec((B, 1), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, k: (b,),
+            pl.BlockSpec((B, 1), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1,), lambda b, k: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda b, k: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda b, k: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
-        out_shape=[jax.ShapeDtypeStruct((B,), jnp.float32),
-                   jax.ShapeDtypeStruct((B,), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.int32)],
         interpret=interpret,
-    )(cs2, cs, n, lag_hi, seed, psd2)
-    return out
+    )(cs2[:, None, :], cs[:, None, :], n[:, None], lag_hi[:, None],
+      seed[:, None], psd2[:, None])
+    return out[0][:, 0], out[1][:, 0]
 
 
 def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
@@ -427,7 +429,7 @@ def _level_kernel(contigs, cidx, lo, n, keys, alpha, npad, P, al0, kmax,
     x, tss = _gather_center(contigs, cidx, lo, n, npad)
     cs = jnp.cumsum(x, axis=1)
 
-    if pallas_scan:
+    if pallas_scan and npad >= _PTBL:
         t2, ti, tj = _tmax_batch_pallas(cs, n, tss, npad, al0, interpret)
     else:
         tb = _tb_for(npad)
