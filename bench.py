@@ -179,9 +179,14 @@ timed()  # compile both paths once
 os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"] = "1"
 timed()
 del os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"]
-t8 = min(timed() for _ in range(3))
-os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"] = "1"
-t1 = min(timed() for _ in range(3))
+# interleave the two configs (best of 6 each): background threads on this
+# shared 2-vCPU host otherwise skew whichever config runs second
+t1, t8 = float("inf"), float("inf")
+for _ in range(6):
+    t8 = min(t8, timed())
+    os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"] = "1"
+    t1 = min(t1, timed())
+    del os.environ["CANVAS_TPU_FORCE_SINGLE_DEVICE"]
 print(json.dumps({"t1": t1, "t8": t8,
                   "efficiency": t1 / (8 * t8)}))
 """
@@ -328,12 +333,18 @@ def main():
         "somatic_grid_segments": grid_segs,
     }
     if scaling:
+        import os as _os
+
+        cores = _os.cpu_count() or 1
         result["virtual_cpu_mesh_1to8"] = {
             "t1_s": round(scaling["t1"], 3), "t8_s": round(scaling["t8"], 3),
             "efficiency": round(scaling["efficiency"], 3),
-            "note": "8 virtual devices share this host's CPU cores; "
-                    "validates the sharded path end-to-end, does not "
-                    "measure ICI speedup (1 real chip here)"}
+            "efficiency_ceiling_on_this_host": round(min(cores, 8) / 8, 3),
+            "note": f"8 virtual devices share this host's {cores} CPU "
+                    "cores, so efficiency is capped at cores/8 regardless "
+                    "of the sharded path's quality; validates the sharded "
+                    "path end-to-end, does not measure ICI speedup "
+                    "(1 real chip here)"}
     if wf_scaling:
         result["workflow_virtual_cpu_mesh_1to8"] = {
             "t1_s": round(wf_scaling["t1"], 3),
