@@ -810,16 +810,39 @@ def run_cbs(
     runs instead: same algorithm, permutations/statistics on device with
     threefry RNG (documented Monte-Carlo-level deviation).  Contigs longer
     than 2^16 bins keep the host path (the dense device arc scan is
-    O(n^2); the host branch-and-bound prunes)."""
+    O(n^2); the host branch-and-bound prunes).  A stalled/erroring device
+    session falls back to the host path after $CANVAS_TPU_CBS_GRACE_S
+    (180 s) — same wall-clock-bounded policy as every other device stage
+    (outputs differ only by the documented RNG deviation)."""
+    import os
+
+    from canvas_tpu import config as _config
     from canvas_tpu.ops import cbs_device
 
     if (cbs_device.device_cbs_enabled()
             and coverage_by_contig
             and max(len(np.asarray(v)) for v in coverage_by_contig.values())
             <= 65536):
-        return cbs_device.run_cbs_device(
-            coverage_by_contig, alpha=alpha, n_perm=n_perm,
-            undo_method=undo_method, seed=seed)
+        def _device():
+            return cbs_device.run_cbs_device(
+                coverage_by_contig, alpha=alpha, n_perm=n_perm,
+                undo_method=undo_method, seed=seed)
+
+        def _host():
+            return _run_cbs_host(coverage_by_contig, alpha, n_perm,
+                                 undo_method, seed)
+
+        grace = float(os.environ.get("CANVAS_TPU_CBS_GRACE_S", "180"))
+        try:
+            return _config.hedged_fetch(_device, _host, grace=grace)
+        except Exception:   # device trouble (e.g. a lowering edge) -> host
+            return _host()
+    return _run_cbs_host(coverage_by_contig, alpha, n_perm, undo_method,
+                         seed)
+
+
+def _run_cbs_host(coverage_by_contig, alpha, n_perm, undo_method, seed):
+    """The host (parity-oracle) CBS path of run_cbs."""
     sbdry = compute_boundary(n_perm, alpha, DEFAULT_ETA)
     finite = {k: np.asarray(v, np.float64)[np.isfinite(v)]
               for k, v in coverage_by_contig.items()}
