@@ -53,7 +53,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from canvas_tpu.ops import cbs as _cbs
-from canvas_tpu.ops import stats as _stats
 
 P_CHUNK = 512          # permutations per device dispatch (= cbs.PERM_CHUNK)
 _TR = 512              # arc-scan row-block height
