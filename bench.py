@@ -112,8 +112,10 @@ def bench_cbs():
     cbs.compute_boundary(cbs.DEFAULT_NPERM, cbs.DEFAULT_ALPHA,
                          cbs.DEFAULT_ETA)
     warm = cbs.run_cbs(cov)
+    # best of 3: the recursion is ~6 round-trips over the tunneled chip,
+    # so per-dispatch RTT jitter swings single runs by ~25%
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         lengths = cbs.run_cbs(cov)
         dt = min(dt, time.perf_counter() - t0)
