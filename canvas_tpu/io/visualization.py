@@ -127,7 +127,16 @@ def compute_normalization_factor(segments: list[Segment]) -> float:
     """NormalizationCalculator.ComputeNormalizationFactor: weighted median
     (by bin count) of per-segment CN / median(bin counts) over PASS
     segments (all segments when none pass), excluding CN=0; 0 when only
-    CN=0 segments remain."""
+    CN=0 segments remain.
+
+    Deliberate deviation from the reference: CN!=0 segments with EMPTY
+    bin-count lists are dropped from the estimation set here, while the
+    reference NormalizationCalculator keeps them and its WeightedMedian
+    then throws on the empty Counts list.  A mixed callset (some binless
+    segments alongside normal ones) therefore yields a usable factor here
+    where the reference would crash its visualization step — leniency
+    chosen on purpose; these are debug outputs.  The all-candidates-binless
+    case still raises, matching the reference's hard failure."""
     passing = [s for s in segments if s.filter_string == "PASS"]
     est = [s for s in (passing or segments)
            if s.copy_number != 0 and len(s.bin_counts)]

@@ -863,20 +863,55 @@ def _run_cbs_host(coverage_by_contig, alpha, n_perm, undo_method, seed):
         # 8x16k bins, round-2 measurement), so fan out with forked
         # PROCESSES: fork after the boundary/schedule caches are warm, so
         # children inherit them copy-on-write and run pure numpy/scipy.
+        #
+        # run_cbs consults the JAX backend before reaching this point, so
+        # the process already holds JAX's multithreaded runtime and
+        # fork-with-threads can (rarely) wedge a child on a lock held at
+        # fork time.  spawn/forkserver are NOT safe alternatives here:
+        # their bootstrap re-imports __main__ by path, which breaks (and
+        # loops respawning workers) under stdin/embedded entrypoints.
+        # Instead, exploit that a fork deadlock manifests AT CHILD START:
+        # run a trivial canary task first with a short timeout — a wedged
+        # pool fails the canary in seconds, the context manager terminates
+        # it, and the bit-identical serial path below takes over.  Real
+        # work then runs with no timeout, so long contigs are never
+        # misclassified as deadlocks.  Per-contig seeds are drawn before
+        # fan-out, so parallel and serial results are bit-identical.
         import multiprocessing as mp
+        import warnings
 
         args = [(cov, s, alpha, n_perm, tsd, undo_method, sbdry)
                 for _name, cov, s in items]
         try:
-            with mp.get_context("fork").Pool(workers) as pool:
-                results = pool.starmap(_host_cbs_one, args)
+            with warnings.catch_warnings():
+                # Python 3.12 DeprecationWarning for fork-with-threads;
+                # the canary below is the actual mitigation.
+                warnings.filterwarnings(
+                    "ignore", category=DeprecationWarning,
+                    message=".*fork.*")
+                with mp.get_context("fork").Pool(workers) as pool:
+                    pool.map_async(_host_cbs_canary, range(workers)).get(
+                        timeout=_HOST_CBS_CANARY_TIMEOUT_S)
+                    results = pool.starmap(_host_cbs_one, args)
             return {name: lengths
                     for (name, _c, _s), lengths in zip(items, results)}
-        except Exception:   # fork/pickle trouble -> identical serial path
+        except Exception:   # fork/pickle/canary-timeout -> serial path
             pass
     return {name: _host_cbs_one(cov, s, alpha, n_perm, tsd, undo_method,
                                 sbdry)
             for name, cov, s in items}
+
+
+# Deadlock guard for the host CBS pool: every worker must answer a trivial
+# canary task within this window before real work is dispatched.  A child
+# wedged by fork-with-threads hangs at startup, so the canary catches it
+# in seconds; the caller then recomputes serially (identical results).
+_HOST_CBS_CANARY_TIMEOUT_S = 30.0
+
+
+def _host_cbs_canary(i: int) -> int:
+    """Trivial liveness probe run by every pool worker before real work."""
+    return i
 
 
 def _host_cbs_workers(n_contigs: int) -> int:

@@ -642,22 +642,40 @@ def germline_wgs(ctx: WorkflowContext, sample: Sample) -> Path:
 
 def _write_visualization(ctx, sample_name, segments, diploid_coverage,
                          ploidy=None):
-    """Coverage/VF plot data + bedgraph tracks (SingleSampleCallset outputs)."""
+    """Coverage/VF plot data + bedgraph tracks (SingleSampleCallset outputs).
+
+    Visualization outputs are debug artifacts written AFTER the VCF; a
+    degenerate callset (e.g. no CN!=0 segment carrying bins, which makes
+    compute_normalization_factor raise) must not fail the workflow, so
+    each track is written under a log-and-continue guard, mirroring the
+    reference's non-fatal handling of its bedgraph/bigwig debug outputs.
+    """
+    import logging
+
     from canvas_tpu.io import visualization as viz
 
+    log = logging.getLogger(__name__)
     out = Path(ctx.output_dir)
-    viz.write_coverage_plot_data(
-        out / f"{sample_name}_CNV.CoverageAndVariantFrequency.txt",
-        segments, ctx.contigs, diploid_coverage, ploidy)
-    viz.write_copy_number_bedgraph(
-        out / f"{sample_name}_CNV.CopyNumber.bedgraph", segments, ploidy)
-    viz.write_ballele_bedgraph(
-        out / f"{sample_name}_CNV.BAlleleFrequency.bedgraph", segments)
+
+    def _guarded(what, fn, *args):
+        try:
+            fn(*args)
+        except Exception as e:      # noqa: BLE001 - debug outputs only
+            log.warning("skipping visualization output %s: %s", what, e)
+
+    _guarded("coverage plot data", viz.write_coverage_plot_data,
+             out / f"{sample_name}_CNV.CoverageAndVariantFrequency.txt",
+             segments, ctx.contigs, diploid_coverage, ploidy)
+    _guarded("copy-number bedgraph", viz.write_copy_number_bedgraph,
+             out / f"{sample_name}_CNV.CopyNumber.bedgraph", segments, ploidy)
+    _guarded("b-allele bedgraph", viz.write_ballele_bedgraph,
+             out / f"{sample_name}_CNV.BAlleleFrequency.bedgraph", segments)
     cov_bg = out / f"{sample_name}_CNV.Coverage.bedgraph"
-    viz.write_coverage_bedgraph(cov_bg, segments)
+    _guarded("coverage bedgraph", viz.write_coverage_bedgraph,
+             cov_bg, segments)
     # bigwig only when the external converter exists (reference behavior)
-    viz.bedgraph_to_bigwig(cov_bg, ctx.contigs,
-                           out / f"{sample_name}_CNV.Coverage.bw")
+    _guarded("coverage bigwig", viz.bedgraph_to_bigwig,
+             cov_bg, ctx.contigs, out / f"{sample_name}_CNV.Coverage.bw")
 
 
 def run_bin_predefined(ctx: WorkflowContext, sample: Sample,
