@@ -225,11 +225,41 @@ def write_ballele_bedgraph(path: str | Path, segments: list[Segment]) -> None:
             f.write(f"{seg.chrom}\t{seg.begin}\t{seg.end}\t{med:.4f}\n")
 
 
-def write_partition_bedgraph(path: str | Path, segments: list[Segment]) -> None:
-    """Segment-boundary track (partition bedgraph)."""
+# Header literal the reference writes above the partition track
+# (CanvasPedigreeCaller.cs:153)
+PARTITION_BEDGRAPH_HEADER = ("track type=bedGraph visibility=full "
+                             "autoScale=on graphType=points")
+
+
+def _round_away_from_zero(v: float, digits: int) -> str:
+    """Math.Round(v, digits, MidpointRounding.AwayFromZero) followed by
+    C# double.ToString() shortest formatting (RoundingBedGraphWriter)."""
+    import math
+
+    scale = 10.0 ** digits
+    r = math.copysign(math.floor(abs(v) * scale + 0.5) / scale, v)
+    s = format(r, f".{digits}f").rstrip("0").rstrip(".")
+    return s if s not in ("", "-0") else "0"
+
+
+def write_partition_bedgraph(path: str | Path, segments: list[Segment],
+                             normalization_factor: float,
+                             header: str | None = PARTITION_BEDGRAPH_HEADER
+                             ) -> None:
+    """Pre-caller segmentation coverage track: one entry per partition
+    segment at median(bin counts) * factor, rounded to 4 digits
+    away-from-zero (CanvasPedigreeCaller.cs:153-155 wires a
+    CoverageBedGraphWriter over NormalizedSegmentsCoverageCalculator
+    through RoundingBedGraphWriter(4), Program.cs:180-182).  Binless
+    segments are skipped (no median exists).  The factor comes from the
+    CALLED segments, the entries from the original partition segments."""
+    entries = normalized_segments_entries(
+        [s for s in segments if len(s.bin_counts)], normalization_factor)
     with open(path, "w", newline="\n") as f:
-        for i, seg in enumerate(segments):
-            f.write(f"{seg.chrom}\t{seg.begin}\t{seg.end}\t{i % 2}\n")
+        if header:
+            f.write(header + "\n")
+        for chrom, s, e, v in entries:
+            f.write(f"{chrom}\t{s}\t{e}\t{_round_away_from_zero(v, 4)}\n")
 
 
 def bedgraph_to_bigwig(bedgraph_path: str | Path, contigs,

@@ -39,6 +39,7 @@ from canvas_tpu.models.segment_model import (
     SEGMENT_SIZE_CUTOFF, merge_segments, merge_segments_multisample,
     merge_segments_using_excluded_intervals, set_filters)
 from canvas_tpu.ops import binning, hmm, metrics, normalize, ratio, wavelets
+from canvas_tpu.ops import stats as seg_stats
 from canvas_tpu.ops import segments as segops
 from canvas_tpu.pipeline import profiling, segments_io
 
@@ -1045,6 +1046,18 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
                    else pedigree_caller.call_pedigree)
         call_fn(segs_by_sample, types, ploidy_fns,
                 ctx.config.quality_filter_threshold)
+        # pre-merge partition segments + sample mean coverage, needed for
+        # the per-sample outputs below: the reference computes
+        # SampleMetrics.MeanCoverage (median over all bin counts,
+        # SampleMetrics.cs:42) and the partition bedgraph entries
+        # (CanvasPedigreeCaller.cs:154-155) from the ORIGINAL partition
+        # segments, not the merged callset
+        partition_segs = {n: list(v) for n, v in segs_by_sample.items()}
+        mean_cov_by_sample = {
+            n: (float(seg_stats.median(np.concatenate(
+                [s.bin_counts for s in v]))) if any(
+                    len(s.bin_counts) for s in v) else None)
+            for n, v in partition_segs.items()}
         # multisample merge: cross-sample CN vectors + mean q-scores
         # (CanvasPedigreeCaller.MergeSegments :179-205)
         segs_by_sample = merge_segments_multisample(
@@ -1064,10 +1077,38 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
         denovo_quality_threshold=ctx.config.denovo_quality_threshold,
         quality_threshold=ctx.config.quality_filter_threshold,
         reference_path=str(ctx.genome_fasta))
+    # per-sample output surface: after the multi-sample VCF the reference
+    # writes, for every pedigree member, a single-sample VCF plus the
+    # coverage/copy-number/partition visualization tracks
+    # (CanvasPedigreeCaller.cs:137-156; names per SingleSampleCallset.cs:
+    # 85-93,105-123 — this repo uses its flat <sample>_CNV.* convention)
+    from canvas_tpu.io import visualization as viz
+
     for name in names:
-        cov = np.concatenate([s.bin_counts for s in segs_by_sample[name]])
-        _write_visualization(ctx, name, segs_by_sample[name],
-                             float(np.median(cov)) if len(cov) else None)
+        segs = segs_by_sample[name]
+        ploidy = ploidies.get(name)
+        mean_cov = mean_cov_by_sample.get(name)
+        vcf_write.write_segments(
+            Path(ctx.output_dir) / f"{name}_CNV.vcf.gz", [segs], [name],
+            ctx.contigs, diploid_coverage=mean_cov,
+            reference_cn_fn=(lambda i, s, _p=ploidy:
+                             _p.reference_copy_number(s.chrom, s.begin,
+                                                      s.end))
+            if ploidy else None,
+            quality_threshold=ctx.config.quality_filter_threshold,
+            denovo_quality_threshold=ctx.config.denovo_quality_threshold,
+            reference_path=str(ctx.genome_fasta))
+        _write_visualization(ctx, name, segs, mean_cov, ploidy)
+        try:
+            factor = viz.compute_normalization_factor(segs)
+            viz.write_partition_bedgraph(
+                Path(ctx.output_dir) / f"{name}_CNV.Partition.bedgraph",
+                partition_segs[name], factor)
+        except Exception as e:      # noqa: BLE001 - debug output only
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping partition bedgraph for %s: %s", name, e)
     prof.write(Path(ctx.output_dir) / "pedigree_profile.json")
     return out
 

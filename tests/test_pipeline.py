@@ -142,6 +142,31 @@ def test_small_pedigree_end_to_end(reference_dir, tmp_path):
                for ch, s, e in dn_spans)
     assert not any(ch == "chr1" for ch, s, e in dn_spans)
 
+    # per-sample output surface (CanvasPedigreeCaller.cs:137-156): one
+    # single-sample VCF per pedigree member, consistent with the
+    # multi-sample records, plus the partition coverage track
+    out_dir = out_vcf.parent
+    for idx, name in enumerate(plans):
+        sample_vcf = out_dir / f"{name}_CNV.vcf.gz"
+        assert sample_vcf.exists(), name
+        multi = ec.load_cnv_calls(out_vcf, sample_index=idx)
+        single = ec.load_cnv_calls(sample_vcf, sample_index=0)
+        multi_spans = {(ch, c.start, c.end, c.cn)
+                       for ch, calls in multi.items() for c in calls}
+        single_spans = {(ch, c.start, c.end, c.cn)
+                        for ch, calls in single.items() for c in calls}
+        assert multi_spans == single_spans, name
+        # the sample header line names the sample, not the cohort
+        with gzip.open(sample_vcf, "rt") as f:
+            header = [l for l in f if l.startswith("#CHROM")][0]
+        assert header.rstrip("\n").split("\t")[-1] == name
+        part = out_dir / f"{name}_CNV.Partition.bedgraph"
+        assert part.exists(), name
+        lines = part.read_text().splitlines()
+        assert lines[0].startswith("track type=bedGraph")
+        assert len(lines) > 1 and all(
+            len(l.split("\t")) == 4 for l in lines[1:])
+
 
 def test_small_pedigree_with_common_cnvs(reference_dir, tmp_path):
     """A common-CNV bed matching a shared event forces its boundaries."""
