@@ -183,20 +183,32 @@ def _tmax_one(cs, n, tss, npad, al0, tb=_TB):
 # Pallas arc-scan: the TMaxO max phase with cs resident in VMEM
 # ---------------------------------------------------------------------------
 
-_PTBL = 128   # lags per pallas grid block
+_PTBL = 128   # bl0 granularity (refine block width)
+_PBLK = 512   # lags per pallas grid step (multiple of _PTBL)
+_SUB = 8      # lags packed into the sublane dimension per vector op
 
 
-def _arc_scan_kernel(cs2_ref, cs_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
+def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
                      best_ref, bl0_ref, *, npad, al0, tbl):
-    """Grid (B, NBLK): sequential 128-aligned lag blocks per segment, each
-    predicated on the branch-and-bound bound against the running best
-    (carried in the revisited output block).  cs stays VMEM-resident
-    across a segment's whole scan; the block reads ONE aligned window of
-    the zero-extended cs2 row and every per-lag shift is a static value
-    slice — Mosaic's lane dimension only allows 128-aligned dynamic
-    starts, so unaligned shifted loads are restructured away entirely."""
+    """Grid (B, NBLK): sequential lag blocks per segment, each predicated on
+    the branch-and-bound bound against the running best (carried in the
+    revisited output block).
+
+    The per-lag difference ``cs[i+L] - cs[i]`` is evaluated on full
+    (_SUB, npad/_SUB) tiles: ``csE[r, c] = cs2[r*npad8 + c]`` is the
+    zero-extended cumsum pre-restructured into _SUB overlapping row
+    windows (built once in XLA), so a lag shift is still ONE static value
+    slice ``win[:, t:t+npad8]`` but every VPU op now fills all 8 sublanes
+    — a [1, npad] op leaves 7 of 8 sublanes idle, so this packing is ~an
+    8x utilization win — and the arc weight stays a scalar per lag.
+    Mosaic's lane dimension only allows 128-aligned dynamic starts, so
+    the block reads one aligned window of csE and every shift inside it
+    is a static slice.  The winning block is tracked at _PTBL granularity
+    (the refine pass width) while the grid strides _PBLK lags per step to
+    amortize per-step overhead 4x."""
     b = pl.program_id(0)
     k = pl.program_id(1)
+    npad8 = npad // _SUB
     n = n_ref[b, 0]
     lag_hi = laghi_ref[b, 0]
     psd2 = psd2_ref[b, 0]
@@ -222,26 +234,26 @@ def _arc_scan_kernel(cs2_ref, cs_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
 
     @pl.when(in_range & (w_bound * psd2 > best))
     def _():
-        cs = cs_ref[0, 0:1, :]                              # [1, npad]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, npad), 1)
-        win = cs2_ref[0, 0:1, pl.ds(pl.multiple_of(l0, 128), npad + tbl)]
+        cs0 = csE_ref[0, :, 0:npad8]                    # (_SUB, npad8)
+        # global bin index i = r*npad8 + c of each tile element
+        gi = (jax.lax.broadcasted_iota(jnp.int32, (_SUB, npad8), 0) * npad8
+              + jax.lax.broadcasted_iota(jnp.int32, (_SUB, npad8), 1))
+        win = csE_ref[0, :, pl.ds(pl.multiple_of(l0, 128), npad8 + tbl)]
 
-        def lag_body(t, m):
-            L = l0 + t
-            d = win[:, t: t + npad] - cs    # static slice: t is unrolled
-            ok = (pos <= n - 1 - L)
-            live = (L >= al0) & (L <= lag_hi)
-            mt = jnp.max(jnp.where(ok, w_of(L) * d * d, -1.0))
-            return jnp.where(live, jnp.maximum(m, mt), m)
+        for q in range(tbl // _PTBL):       # _PTBL-lag subblocks
+            m = jnp.full((), -1.0, jnp.float32)
+            for t in range(q * _PTBL, (q + 1) * _PTBL):
+                L = l0 + t
+                d = win[:, t: t + npad8] - cs0          # static slice: t
+                ok = gi <= n - 1 - L
+                mt = jnp.max(jnp.where(ok, w_of(L) * (d * d), -1.0))
+                live = (L >= al0) & (L <= lag_hi)
+                m = jnp.maximum(m, jnp.where(live, mt, -1.0))
 
-        m = jnp.asarray(-1.0, jnp.float32)
-        for t in range(tbl):
-            m = lag_body(t, m)
-
-        @pl.when(m > best_ref[b, 0])
-        def _():
-            best_ref[b, 0] = m
-            bl0_ref[b, 0] = l0
+            @pl.when(m > best_ref[b, 0])
+            def _(m=m, q=q):
+                best_ref[b, 0] = m
+                bl0_ref[b, 0] = l0 + q * _PTBL
 
 
 @partial(jax.jit, static_argnames=("npad", "al0", "tbl", "interpret"))
@@ -249,15 +261,19 @@ def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
                      interpret):
     """[B] (best, bl0) via the pallas kernel; cs2 is [B, 2*npad]."""
     B = cs.shape[0]
+    npad8 = npad // _SUB
+    # csE[b, r, c] = cs2[b, r*npad8 + c], c in [0, npad8 + npad): _SUB
+    # overlapping row windows so the kernel's lag shifts run on full
+    # (_SUB, npad8) tiles (r=_SUB-1 ends exactly at 2*npad)
+    csE = jnp.stack([cs2[:, r * npad8: r * npad8 + npad8 + npad]
+                     for r in range(_SUB)], axis=1)
     nblk = max((npad + tbl - 1) // tbl, 1)
     grid = (B, nblk)
     out = pl.pallas_call(
         partial(_arc_scan_kernel, npad=npad, al0=al0, tbl=tbl),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, 2 * npad), lambda b, k: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, npad), lambda b, k: (b, 0, 0),
+            pl.BlockSpec((1, _SUB, npad8 + npad), lambda b, k: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -277,8 +293,7 @@ def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
         out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1), jnp.int32)],
         interpret=interpret,
-    )(cs2[:, None, :], cs[:, None, :], n[:, None], lag_hi[:, None],
-      seed[:, None], psd2[:, None])
+    )(csE, n[:, None], lag_hi[:, None], seed[:, None], psd2[:, None])
     return out[0][:, 0], out[1][:, 0]
 
 
@@ -288,7 +303,8 @@ def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
     segment.  Same statistics as lax.map(_tmax_one) (float max is
     order-independent); only exact-tie winners can differ (documented)."""
     B = cs_mat.shape[0]
-    tbl = _PTBL
+    tbl = _PTBL                      # refine granularity (= bl0 granularity)
+    sblk = min(_PBLK, npad)          # lags per pallas grid step
     big = jnp.finfo(cs_mat.dtype).max
     valid = jnp.arange(npad)[None, :] < n[:, None]
     imin = jnp.argmin(jnp.where(valid, cs_mat, big), axis=1)
@@ -307,7 +323,7 @@ def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
     cs2 = jnp.pad(cs_mat, ((0, 0), (0, npad)))
     best, bl0 = _arc_scan_pallas(
         cs2, cs_mat, n.astype(jnp.int32), lag_hi, seed.astype(jnp.float32),
-        (psdiff * psdiff).astype(jnp.float32), npad, al0, tbl, interpret)
+        (psdiff * psdiff).astype(jnp.float32), npad, al0, sblk, interpret)
 
     pos = jnp.arange(npad)
 
@@ -428,7 +444,7 @@ def _level_kernel(contigs, cidx, lo, n, keys, alpha, npad, P, al0, kmax,
     x, tss = _gather_center(contigs, cidx, lo, n, npad)
     cs = jnp.cumsum(x, axis=1)
 
-    if pallas_scan and npad >= _PTBL:
+    if pallas_scan and npad >= _SUB * _PTBL:   # npad8 >= one 128-lane tile
         t2, ti, tj = _tmax_batch_pallas(cs, n, tss, npad, al0, interpret)
     else:
         tb = _tb_for(npad)
@@ -557,9 +573,10 @@ def _perm_kernel(x, n, tss, keys, npad, P, al0, kmax, full):
 # ---------------------------------------------------------------------------
 
 class _Seg(NamedTuple):
-    contig: int
+    contig: int          # GLOBAL contig index (RNG key derivation)
     lo: int
     hi: int
+    row: int = 0         # row in the owning group's device matrix (gather)
 
 
 def _pow2(v: int, floor: int = 8) -> int:
@@ -682,81 +699,132 @@ def run_cbs_device(
     tsd = float(np.sqrt(_cbs.trimmed_variance(finite))) \
         if any(len(v) for v in finite.values()) else 0.0
 
-    tmax_len = max(len(r) for r in rows)
-    contigs_dev = jnp.asarray(
-        np.stack([np.pad(r, (0, tmax_len - len(r))) for r in rows]
-                 ).astype(np.float32))
-
+    # Contigs split round-robin (by descending length, for balance) into
+    # independent GROUPS, each running its own frontier state machine.
+    # All groups' level kernels dispatch asynchronously and results copy
+    # back with copy_to_host_async, so one group's d2h round-trip (tens of
+    # ms over a tunneled chip) overlaps the other groups' device compute
+    # instead of serializing with it.  Per-segment results are independent
+    # and RNG keys derive from GLOBAL contig ids, so the grouping cannot
+    # change any statistic.
+    nonempty = [c for c, r in enumerate(rows) if len(r)]
+    order = sorted(nonempty, key=lambda c: -len(rows[c]))
+    G = max(1, min(4, len(nonempty)))
     cps: dict[int, list[int]] = {c: [] for c in range(len(rows))}
-    frontier = [_Seg(c, 0, len(r)) for c, r in enumerate(rows) if len(r)]
 
-    while frontier:
-        analyze: list[_Seg] = []
-        for seg in frontier:
+    class _Group:
+        __slots__ = ("dev", "frontier", "local")
+
+    groups: list[_Group] = []
+    for gi in range(G):
+        members = order[gi::G]
+        if not members:
+            continue
+        g = _Group()
+        g.local = {c: i for i, c in enumerate(members)}
+        tmax_len = max(len(rows[c]) for c in members)
+        g.dev = jnp.asarray(np.stack(
+            [np.pad(rows[c], (0, tmax_len - len(rows[c])))
+             for c in members]).astype(np.float32))
+        g.frontier = [_Seg(c, 0, len(rows[c]), g.local[c]) for c in members]
+        groups.append(g)
+
+    def _dispatch(g: _Group):
+        """Async level dispatch for a group, ONE kernel per pow2 padding
+        bucket (over-padding a 2k child to a 16k level ceiling makes its
+        speculative permutation sort ~8x more expensive; with the groups
+        pipelined, extra dispatches no longer cost a round-trip each).
+        None when the frontier has nothing analyzable (group finished)."""
+        buckets: dict[int, list[_Seg]] = {}
+        for seg in g.frontier:
             cur = rows[seg.contig][seg.lo: seg.hi]
             if len(cur) >= 2 * min_width and cur.max() != cur.min():
-                analyze.append(seg)
-        next_frontier: list[_Seg] = []
-        # ONE merged dispatch per level at the level's max pow2 padding:
-        # the branch-and-bound scan makes over-padding cheap (iteration
-        # count tracks each segment's own lag range), and every saved
-        # dispatch saves a device round-trip
-        buckets: dict[int, list[_Seg]] = {}
-        if analyze:
-            buckets[max(_pow2(s.hi - s.lo) for s in analyze)] = analyze
-        dispatches = []
+                buckets.setdefault(_pow2(seg.hi - seg.lo), []).append(seg)
+        if not buckets:
+            return None
+        parts = []
         for npad, segs in sorted(buckets.items()):
             Bp = _pow2(len(segs), floor=1)
             cidx = np.zeros(Bp, np.int32)
+            gci = np.zeros(Bp, np.int64)
             lo = np.zeros(Bp, np.int32)
             nn = np.full(Bp, 2 * min_width, np.int32)
             for i, s in enumerate(segs):
-                cidx[i], lo[i], nn[i] = s.contig, s.lo, s.hi - s.lo
-            keys = _seg_keys_np(seed, cidx, lo, nn, 0)
+                cidx[i], gci[i], lo[i], nn[i] = s.row, s.contig, s.lo, \
+                    s.hi - s.lo
+            keys = _seg_keys_np(seed, gci, lo, nn, 0)
             full = (p_method != "hybrid"
                     or any((s.hi - s.lo) <= n_min for s in segs))
             # bigger speculative chunk on small-padded levels: most walks
             # then terminate without a continuation dispatch
             p0 = 768 if npad <= 8192 else P_CHUNK
             out = _level_kernel(
-                contigs_dev, jnp.asarray(cidx), jnp.asarray(lo),
+                g.dev, jnp.asarray(cidx), jnp.asarray(lo),
                 jnp.asarray(nn), jnp.asarray(keys),
                 jnp.asarray(alpha, jnp.float32), npad, p0, min_width,
                 kmax, n_min if p_method == "hybrid" else (1 << 30),
                 100, full, pallas_scan=_use_pallas_scan(),
                 interpret=jax.default_backend() == "cpu")
-            dispatches.append((segs, out))     # async; fetch below
+            try:
+                out.copy_to_host_async()
+            except Exception:   # interpret-mode / non-jax outputs
+                pass
+            parts.append((segs, out))
+        return parts
+
+    def _process(g: _Group, parts):
+        """Decode the fetched level parts; returns the group's next
+        frontier (perm walks run inline, with their own dispatches)."""
+        next_frontier: list[_Seg] = []
         pending: list[tuple[_Seg, int, int, float, int, bool]] = []
         fused: dict[int, np.ndarray] = {}
-        for segs, out in dispatches:
-            out = np.asarray(out, np.float64)  # ONE d2h fetch per dispatch
-            for i, seg in enumerate(segs):
-                n = seg.hi - seg.lo
-                t2, i1, i2 = float(out[i, 0]), int(out[i, 1]), int(out[i, 2])
-                ostat1 = float(np.sqrt(max(t2, 0.0)))
-                if ostat1 <= 0.1:
+        for segs, out_dev in parts:
+            out = np.asarray(out_dev, np.float64)
+            _decode(segs, out, next_frontier, pending, fused)
+        _walk_pending(pending, rows, sbdry, n_perm, alpha, seed,
+                      min_width, kmax, cps, next_frontier, fused)
+        return next_frontier
+
+    def _decode(segs, out, next_frontier, pending, fused):
+        for i, seg in enumerate(segs):
+            n = seg.hi - seg.lo
+            t2, i1, i2 = float(out[i, 0]), int(out[i, 1]), int(out[i, 2])
+            ostat1 = float(np.sqrt(max(t2, 0.0)))
+            if ostat1 <= 0.1:
+                continue
+            ostat = 0.99999 * t2
+            l = min(i2 - i1, n - i2 + i1)
+            if ostat1 >= 7.0 and l >= 10:
+                _accept(seg, rows, i1, i2, n_perm, alpha, seed, cps,
+                        next_frontier, min_width)
+                continue
+            hybrid = p_method == "hybrid" and n_min < n
+            if hybrid:
+                p1 = float(out[i, 3])
+                if p1 > alpha:
                     continue
-                ostat = 0.99999 * t2
-                l = min(i2 - i1, n - i2 + i1)
-                if ostat1 >= 7.0 and l >= 10:
-                    _accept(seg, rows, i1, i2, n_perm, alpha, seed, cps,
-                            next_frontier, min_width)
-                    continue
-                hybrid = p_method == "hybrid" and n_min < n
-                if hybrid:
-                    p1 = float(out[i, 3])
-                    if p1 > alpha:
-                        continue
-                    nrejc = int((alpha - p1) * n_perm)
-                else:
-                    nrejc = int(alpha * n_perm)
-                if out[i, 5] > 0.5:            # device pre-ran perm chunk 0
-                    fused[id(seg)] = out[i, 6:]
-                pending.append((seg, i1, i2, ostat, nrejc, hybrid))
-        _walk_pending(pending, rows, contigs_dev, sbdry, n_perm,
-                      alpha, seed, min_width, kmax, cps, next_frontier,
-                      fused)
-        frontier = next_frontier
+                nrejc = int((alpha - p1) * n_perm)
+            else:
+                nrejc = int(alpha * n_perm)
+            if out[i, 5] > 0.5:            # device pre-ran perm chunk 0
+                fused[id(seg)] = out[i, 6:]
+            pending.append((seg, i1, i2, ostat, nrejc, hybrid))
+
+    from collections import deque
+    to_dispatch = deque(groups)
+    inflight: deque = deque()
+    while to_dispatch or inflight:
+        while to_dispatch:
+            g = to_dispatch.popleft()
+            parts = _dispatch(g)
+            if parts is not None:
+                inflight.append((g, parts))
+        if not inflight:
+            break
+        g, parts = inflight.popleft()
+        g.frontier = _process(g, parts)
+        if g.frontier:
+            to_dispatch.append(g)
 
     out = {}
     for c, name in enumerate(names):
@@ -782,12 +850,13 @@ def _accept(seg, rows, i1, i2, n_perm, alpha, seed, cps, next_frontier,
     bounds = [0] + found + [len(cur)]
     for a, b in zip(bounds[:-1], bounds[1:]):
         if b > a:
-            next_frontier.append(_Seg(seg.contig, seg.lo + a, seg.lo + b))
+            next_frontier.append(
+                _Seg(seg.contig, seg.lo + a, seg.lo + b, seg.row))
     for c in found:
         cps[seg.contig].append(seg.lo + c)
 
 
-def _walk_pending(pending, rows, contigs_dev, sbdry, n_perm, alpha,
+def _walk_pending(pending, rows, sbdry, n_perm, alpha,
                   seed, min_width, kmax, cps, next_frontier,
                   fused=None):
     """Permutation tests for segments that need them: the level kernel's
