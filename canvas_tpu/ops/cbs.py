@@ -824,6 +824,13 @@ def run_cbs(
             and max(len(np.asarray(v)) for v in coverage_by_contig.values())
             <= 65536):
         def _device():
+            from canvas_tpu.ops import cbs_mega
+            if cbs_mega.mega_cbs_enabled():
+                out = cbs_mega.run_cbs_mega(
+                    coverage_by_contig, alpha=alpha, n_perm=n_perm,
+                    undo_method=undo_method, seed=seed)
+                if out is not None:     # None: table overflow -> frontier
+                    return out
             return cbs_device.run_cbs_device(
                 coverage_by_contig, alpha=alpha, n_perm=n_perm,
                 undo_method=undo_method, seed=seed)

@@ -65,12 +65,23 @@ _NU_TAIL_PANELS = 128
 # ---------------------------------------------------------------------------
 
 def _gather_center(contigs, cidx, lo, n, npad):
-    """[Bp, npad] centered windows (zero beyond each segment's length)."""
-    pos = lo[:, None] + jnp.arange(npad)[None, :]
+    """[Bp, npad] centered windows (zero beyond each segment's length).
+
+    Windows are CONTIGUOUS row slices, so they extract as per-row
+    dynamic_slice DMAs (lax.map) from a zero-extended copy — a flat
+    jnp.take of the same windows is a general 2M-element gather that
+    costs tens of ms per level on TPU."""
     valid = jnp.arange(npad)[None, :] < n[:, None]
-    tmax = contigs.shape[1]
-    flat = cidx[:, None] * tmax + jnp.clip(pos, 0, tmax - 1)
-    x = jnp.take(contigs.reshape(-1), flat)
+    # zero-extend so lo + npad never exceeds the row (dynamic_slice would
+    # silently clamp the start and shift the window otherwise)
+    ext = jnp.pad(contigs, ((0, 0), (0, npad)))
+
+    def row(args):
+        c, l = args
+        return lax.dynamic_slice(
+            ext, (c, l), (1, npad))[0]
+
+    x = lax.map(row, (cidx.astype(jnp.int32), lo.astype(jnp.int32)))
     x = jnp.where(valid, x, 0.0)
     mean = jnp.sum(x, axis=1) / jnp.maximum(n, 1)
     x = jnp.where(valid, x - mean[:, None], 0.0)
@@ -189,7 +200,7 @@ _SUB = 8      # lags packed into the sublane dimension per vector op
 
 
 def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
-                     best_ref, bl0_ref, *, npad, al0, tbl):
+                     best_ref, bl0_ref, *, npad, al0, tbl, scale=1):
     """Grid (B, NBLK): sequential lag blocks per segment, each predicated on
     the branch-and-bound bound against the running best (carried in the
     revisited output block).
@@ -205,7 +216,17 @@ def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
     the block reads one aligned window of csE and every shift inside it
     is a static slice.  The winning block is tracked at _PTBL granularity
     (the refine pass width) while the grid strides _PBLK lags per step to
-    amortize per-step overhead 4x."""
+    amortize per-step overhead 4x.
+
+    With ``scale`` > 1 the same kernel runs a DECIMATED scan: csE holds
+    every scale-th cumsum value, a local (i, L) pair means the real pair
+    (scale*i, scale*i + scale*L), and weights/masks use the REAL lag and
+    length — every evaluated pair is legal, so the result is a valid
+    LOWER BOUND on the true max, used to pre-seed the branch-and-bound of
+    the full-resolution pass (signal segments defeat the psdiff bound
+    because their global cumsum range is huge; a near-optimal seed
+    restores the pruning).  ``n``/``lag_hi`` arrive in LOCAL units when
+    scale > 1 is in play (lag_hi_local = lag_hi // scale)."""
     b = pl.program_id(0)
     k = pl.program_id(1)
     npad8 = npad // _SUB
@@ -227,8 +248,8 @@ def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
         Lf = jnp.clip(L, 1, jnp.maximum(n - 1, 1)).astype(jnp.float32)
         return nf / (Lf * (nf - Lf))
 
-    w_bound = jnp.maximum(w_of(jnp.maximum(l0, al0)),
-                          w_of(jnp.minimum(l0 + tbl - 1, lag_hi)))
+    w_bound = jnp.maximum(w_of(scale * jnp.maximum(l0, al0)),
+                          w_of(scale * jnp.minimum(l0 + tbl - 1, lag_hi)))
     best = best_ref[b, 0]
     in_range = (l0 <= lag_hi) & (l0 + tbl - 1 >= al0)
 
@@ -244,9 +265,10 @@ def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
             m = jnp.full((), -1.0, jnp.float32)
             for t in range(q * _PTBL, (q + 1) * _PTBL):
                 L = l0 + t
+                Lr = L if scale == 1 else scale * L     # real lag
                 d = win[:, t: t + npad8] - cs0          # static slice: t
-                ok = gi <= n - 1 - L
-                mt = jnp.max(jnp.where(ok, w_of(L) * (d * d), -1.0))
+                ok = gi <= (n - 1 - Lr) // scale
+                mt = jnp.max(jnp.where(ok, w_of(Lr) * (d * d), -1.0))
                 live = (L >= al0) & (L <= lag_hi)
                 m = jnp.maximum(m, jnp.where(live, mt, -1.0))
 
@@ -256,9 +278,10 @@ def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
                 bl0_ref[b, 0] = l0 + q * _PTBL
 
 
-@partial(jax.jit, static_argnames=("npad", "al0", "tbl", "interpret"))
+@partial(jax.jit, static_argnames=("npad", "al0", "tbl", "interpret",
+                                   "scale"))
 def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
-                     interpret):
+                     interpret, scale=1):
     """[B] (best, bl0) via the pallas kernel; cs2 is [B, 2*npad]."""
     B = cs.shape[0]
     npad8 = npad // _SUB
@@ -270,7 +293,7 @@ def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
     nblk = max((npad + tbl - 1) // tbl, 1)
     grid = (B, nblk)
     out = pl.pallas_call(
-        partial(_arc_scan_kernel, npad=npad, al0=al0, tbl=tbl),
+        partial(_arc_scan_kernel, npad=npad, al0=al0, tbl=tbl, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _SUB, npad8 + npad), lambda b, k: (b, 0, 0),
@@ -321,9 +344,15 @@ def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
     lag_hi = jnp.minimum(n - al0, n - 1).astype(jnp.int32)
     # shifted reads cover [L, L + npad) for L up to npad: zero-extend to 2x
     cs2 = jnp.pad(cs_mat, ((0, 0), (0, npad)))
+    psd2 = (psdiff * psdiff).astype(jnp.float32)
+    seed = seed.astype(jnp.float32)
+    # (A decimated prime pass seeding the branch-and-bound was tried and
+    # measured perf-neutral: the psdiff bound over-admits extreme-lag
+    # blocks regardless of how good the seed is, because the global
+    # cumsum range vastly overestimates |d| at those lags.)
     best, bl0 = _arc_scan_pallas(
-        cs2, cs_mat, n.astype(jnp.int32), lag_hi, seed.astype(jnp.float32),
-        (psdiff * psdiff).astype(jnp.float32), npad, al0, sblk, interpret)
+        cs2, cs_mat, n.astype(jnp.int32), lag_hi, seed, psd2,
+        npad, al0, sblk, interpret)
 
     pos = jnp.arange(npad)
 
