@@ -122,7 +122,7 @@ def bench_cbs():
     n_segs = sum(len(v) for v in lengths.values())
     assert n_segs >= B  # sanity: segmentation actually ran
     assert all(np.array_equal(warm[k], lengths[k]) for k in cov)
-    return B * T, dt
+    return B * T, dt, cbs.last_engine()
 
 
 def bench_somatic_grid():
@@ -320,7 +320,7 @@ def main():
     wf_scaling = bench_workflow_scaling()
     scaling = bench_scaling()
     hmm_bins, hmm_dt = bench_hmm()
-    cbs_bins, cbs_dt = bench_cbs()
+    cbs_bins, cbs_dt, cbs_engine = bench_cbs()
     grid_models, grid_segs, grid_dt = bench_somatic_grid()
 
     combined = (hmm_bins + cbs_bins) / (hmm_dt + cbs_dt)
@@ -331,6 +331,7 @@ def main():
         "vs_baseline": round(combined / REFERENCE_BINS_PER_SEC, 3),
         "hmm_bins_per_sec": round(hmm_bins / hmm_dt, 1),
         "cbs_bins_per_sec": round(cbs_bins / cbs_dt, 1),
+        "cbs_engine": cbs_engine,
         "somatic_grid_models_per_sec": round(grid_models / grid_dt, 1),
         "somatic_grid_segments": grid_segs,
     }

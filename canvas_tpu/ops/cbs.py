@@ -43,6 +43,18 @@ DEFAULT_ETA = 0.05
 DEFAULT_TRIM = 0.025
 DEFAULT_MIN_WIDTH = 2
 
+# Which engine produced the most recent run_cbs result: "mega" (whole-
+# recursion device engine), "frontier" (per-level device engine), or
+# "host" (numpy parity oracle).  Recorded so benchmarks and workflow
+# profiles can attribute throughput numbers to the engine that actually
+# ran (the mega -> frontier -> host fallback chain is otherwise silent).
+_LAST_ENGINE: dict[str, str | None] = {"engine": None}
+
+
+def last_engine() -> str | None:
+    """Engine name of the most recent run_cbs call in this process."""
+    return _LAST_ENGINE["engine"]
+
 
 # ---------------------------------------------------------------------------
 # Genome-wide trimmed variance (ChangePoint.TrimmedVariance, :423-474)
@@ -830,20 +842,23 @@ def run_cbs(
                     coverage_by_contig, alpha=alpha, n_perm=n_perm,
                     undo_method=undo_method, seed=seed)
                 if out is not None:     # None: table overflow -> frontier
-                    return out
-            return cbs_device.run_cbs_device(
+                    return "mega", out
+            return "frontier", cbs_device.run_cbs_device(
                 coverage_by_contig, alpha=alpha, n_perm=n_perm,
                 undo_method=undo_method, seed=seed)
 
         def _host():
-            return _run_cbs_host(coverage_by_contig, alpha, n_perm,
-                                 undo_method, seed)
+            return "host", _run_cbs_host(coverage_by_contig, alpha, n_perm,
+                                         undo_method, seed)
 
         grace = float(os.environ.get("CANVAS_TPU_CBS_GRACE_S", "180"))
         try:
-            return _config.hedged_fetch(_device, _host, grace=grace)
+            engine, out = _config.hedged_fetch(_device, _host, grace=grace)
         except Exception:   # device trouble (e.g. a lowering edge) -> host
-            return _host()
+            engine, out = _host()
+        _LAST_ENGINE["engine"] = engine
+        return out
+    _LAST_ENGINE["engine"] = "host"
     return _run_cbs_host(coverage_by_contig, alpha, n_perm, undo_method,
                          seed)
 

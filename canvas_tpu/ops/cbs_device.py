@@ -542,7 +542,11 @@ def _htmax_core(cs, nn, tss, npad, al0, kmax):
     nf = cs.dtype.type(1) * nn
     idx = jnp.arange(npad)
     best = jnp.zeros(P, cs.dtype)
-    for L in range(al0, kmax + 1):
+    # clamp to the pad bucket: lags L >= npad are impossible for any real
+    # length nn <= npad (the `L <= nn - 1` gate below would zero them) and
+    # would slice zero-size arrays at trace time — both lax.cond branches
+    # trace, so small buckets hit this even when hybrid is never taken
+    for L in range(al0, min(kmax, npad - 1) + 1):
         d_lin = jnp.abs(cs[:, L:] - cs[:, :-L])
         lin_ok = idx[: npad - L] + L <= nn - 1
         d1 = jnp.max(jnp.where(lin_ok[None], d_lin, 0.0), axis=1)

@@ -35,7 +35,8 @@ Device control-flow design:
     recursion and most walking segments are far shorter than Tmax.
 
 Documented deviations (Monte-Carlo-level; accuracy-neutral, decisions on
-planted data are pinned against the host oracle in tests):
+planted data are pinned against the host oracle in tests/test_cbs_mega.py,
+which forces CANVAS_TPU_CBS_MEGA=1 on the CPU backend):
   * permutation / edge-test RNG is threefry ``fold_in`` chains keyed on
     (contig, lo, n, chunk/side) rather than the host's numpy streams — the
     same class of deviation ops/cbs_device.py documents;
@@ -567,7 +568,8 @@ def _interpret() -> bool:
 
 def mega_cbs_enabled() -> bool:
     """Whole-recursion engine policy: on for accelerator backends,
-    overridable via CANVAS_TPU_CBS_MEGA=0/1 (tests force 1 on CPU)."""
+    overridable via CANVAS_TPU_CBS_MEGA=0/1 (tests/test_cbs_mega.py
+    forces 1 on the CPU backend)."""
     v = os.environ.get("CANVAS_TPU_CBS_MEGA", "auto")
     if v == "1":
         return True

@@ -486,6 +486,9 @@ def run_partition(
     cfg = ctx.config
     per_sample_spans: dict[str, dict[str, list[segops.Span]]] = {}
     cov_cache = {name: coverage_by_contig(b) for name, b in samples_bins.items()}
+    if method == "CBS":   # reset so post-stage attribution is never stale
+        from canvas_tpu.ops import cbs
+        cbs._LAST_ENGINE["engine"] = None
 
     for name, bins in samples_bins.items():
         cov = cov_cache[name]
@@ -860,6 +863,10 @@ def somatic_wgs(ctx: WorkflowContext, tumor: Sample,
             ctx.config.partition_method
             or ("CBS" if is_enrichment else "Wavelets"),
             is_germline=False, ploidy=ploidy)
+    from canvas_tpu.ops import cbs as _cbs_engine
+    if _cbs_engine.last_engine():   # attribute which CBS engine ran
+        prof.note("CanvasPartitionCbsEngine",
+                  cbs_engine=_cbs_engine.last_engine())
     segs_by_contig = parts[tumor.name]
     attach_alleles(ctx, tumor, segs_by_contig, vf)
     segs = _flatten(segs_by_contig, ctx.contigs)
