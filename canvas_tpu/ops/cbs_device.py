@@ -75,13 +75,8 @@ def _gather_center(contigs, cidx, lo, n, npad):
     # zero-extend so lo + npad never exceeds the row (dynamic_slice would
     # silently clamp the start and shift the window otherwise)
     ext = jnp.pad(contigs, ((0, 0), (0, npad)))
-
-    def row(args):
-        c, l = args
-        return lax.dynamic_slice(
-            ext, (c, l), (1, npad))[0]
-
-    x = lax.map(row, (cidx.astype(jnp.int32), lo.astype(jnp.int32)))
+    x = jax.vmap(lambda c, l: lax.dynamic_slice(ext, (c, l), (1, npad))[0])(
+        cidx.astype(jnp.int32), lo.astype(jnp.int32))
     x = jnp.where(valid, x, 0.0)
     mean = jnp.sum(x, axis=1) / jnp.maximum(n, 1)
     x = jnp.where(valid, x - mean[:, None], 0.0)
@@ -194,7 +189,10 @@ def _tmax_one(cs, n, tss, npad, al0, tb=_TB):
 # Pallas arc-scan: the TMaxO max phase with cs resident in VMEM
 # ---------------------------------------------------------------------------
 
-_PTBL = 128   # bl0 granularity (refine block width)
+_PTBL = 32    # bl0 granularity (refine block width): small enough that the
+              # batched refine pass (tbl x [B, npad] elementwise) stays a
+              # fraction of the sweep; the kernel pays one scalar max per
+              # _PTBL lags, which is noise next to the lag loop itself
 _PBLK = 512   # lags per pallas grid step (multiple of _PTBL)
 _SUB = 8      # lags packed into the sublane dimension per vector op
 
@@ -232,7 +230,7 @@ def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
     npad8 = npad // _SUB
     n = n_ref[b, 0]
     lag_hi = laghi_ref[b, 0]
-    psd2 = psd2_ref[b, 0]
+    psd2 = psd2_ref[b, k]     # per-(row, lag-block) bound on d^2
 
     @pl.when(k == 0)
     def _():
@@ -262,15 +260,19 @@ def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
         win = csE_ref[0, :, pl.ds(pl.multiple_of(l0, 128), npad8 + tbl)]
 
         for q in range(tbl // _PTBL):       # _PTBL-lag subblocks
-            m = jnp.full((), -1.0, jnp.float32)
+            # element-wise max ACCUMULATION across lags (a full cross-lane
+            # reduce per lag costs ~10x the compare itself; one tile
+            # accumulator defers the reduction to once per subblock)
+            acc = jnp.full((_SUB, npad8), -1.0, jnp.float32)
             for t in range(q * _PTBL, (q + 1) * _PTBL):
                 L = l0 + t
                 Lr = L if scale == 1 else scale * L     # real lag
                 d = win[:, t: t + npad8] - cs0          # static slice: t
                 ok = gi <= (n - 1 - Lr) // scale
-                mt = jnp.max(jnp.where(ok, w_of(Lr) * (d * d), -1.0))
                 live = (L >= al0) & (L <= lag_hi)
-                m = jnp.maximum(m, jnp.where(live, mt, -1.0))
+                wv = jnp.where(live, w_of(Lr), -1.0)    # scalar per lag
+                acc = jnp.maximum(acc, jnp.where(ok, wv * (d * d), -1.0))
+            m = jnp.max(acc)
 
             @pl.when(m > best_ref[b, 0])
             def _(m=m, q=q):
@@ -282,7 +284,8 @@ def _arc_scan_kernel(csE_ref, n_ref, laghi_ref, seed_ref, psd2_ref,
                                    "scale"))
 def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
                      interpret, scale=1):
-    """[B] (best, bl0) via the pallas kernel; cs2 is [B, 2*npad]."""
+    """[B] (best, bl0) via the pallas kernel; cs2 is [B, 2*npad] and psd2
+    is the PER-BLOCK [B, nblk] bound on d^2 (see _block_d2_bound)."""
     B = cs.shape[0]
     npad8 = npad // _SUB
     # csE[b, r, c] = cs2[b, r*npad8 + c], c in [0, npad8 + npad): _SUB
@@ -304,7 +307,7 @@ def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((B, 1), lambda b, k: (0, 0),
+            pl.BlockSpec((B, nblk), lambda b, k: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -316,8 +319,56 @@ def _arc_scan_pallas(cs2, cs, n, lag_hi, seed, psd2, npad, al0, tbl,
         out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1), jnp.int32)],
         interpret=interpret,
-    )(csE, n[:, None], lag_hi[:, None], seed[:, None], psd2[:, None])
+    )(csE, n[:, None], lag_hi[:, None], seed[:, None], psd2)
     return out[0][:, 0], out[1][:, 0]
+
+
+_BCHUNK = 256   # position-chunk width for the per-block d^2 bound
+
+
+def _block_d2_bound(cs_mat, psdiff, npad, sblk):
+    """[B, nblk] upper bound on d^2 = (cs[j] - cs[i])^2 over pairs with
+    lag j - i inside each sblk-lag block.
+
+    Chunk the position axis at _BCHUNK; with M/m the per-chunk max/min of
+    the cumsum, any pair at chunk distance db satisfies
+    |d| <= max(M[a+db] - m[a], M[a] - m[a+db]).  A lag block only reaches
+    chunk distances around lag/_BCHUNK, so its bound is the max over that
+    small db range — far tighter than the global cumsum range for noise
+    (local range ~ sqrt(lag) vs sqrt(n)), which is what lets the sweep
+    skip the mid-lag blocks the psdiff bound always over-admits.
+    Pad positions enter the chunk extrema unmasked: extra values only
+    widen M - m, so the bound stays valid."""
+    B = cs_mat.shape[0]
+    nblk = max(npad // sblk, 1)
+    C = min(_BCHUNK, npad)
+    nchunk = npad // C
+    csr = cs_mat.reshape(B, nchunk, C)
+    M = jnp.max(csr, axis=2)
+    m = jnp.min(csr, axis=2)
+
+    def db_bound(db):
+        if db == 0:
+            return jnp.max(M - m, axis=1)
+        return jnp.maximum(jnp.max(M[:, db:] - m[:, :-db], axis=1),
+                           jnp.max(M[:, :-db] - m[:, db:], axis=1))
+
+    cache: dict[int, jnp.ndarray] = {}
+    rows = []
+    for k in range(nblk):
+        lo_lag, hi_lag = k * sblk, k * sblk + sblk - 1
+        db_lo = max(0, lo_lag // C - 1)
+        db_hi = min(nchunk - 1, hi_lag // C + 1)
+        best = None
+        for db in range(db_lo, db_hi + 1):
+            if db not in cache:
+                cache[db] = db_bound(db)
+            best = cache[db] if best is None else jnp.maximum(best,
+                                                              cache[db])
+        rows.append(best)
+    bnd = jnp.stack(rows, axis=1)                       # [B, nblk]
+    d = jnp.minimum(psdiff[:, None], bnd)
+    return (d * d).astype(jnp.float32)
 
 
 def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
@@ -344,7 +395,7 @@ def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
     lag_hi = jnp.minimum(n - al0, n - 1).astype(jnp.int32)
     # shifted reads cover [L, L + npad) for L up to npad: zero-extend to 2x
     cs2 = jnp.pad(cs_mat, ((0, 0), (0, npad)))
-    psd2 = (psdiff * psdiff).astype(jnp.float32)
+    psd2 = _block_d2_bound(cs_mat, psdiff, npad, sblk)
     seed = seed.astype(jnp.float32)
     # (A decimated prime pass seeding the branch-and-bound was tried and
     # measured perf-neutral: the psdiff bound over-admits extreme-lag
@@ -354,31 +405,50 @@ def _tmax_batch_pallas(cs_mat, n, tss, npad, al0, interpret):
         cs2, cs_mat, n.astype(jnp.int32), lag_hi, seed, psd2,
         npad, al0, sblk, interpret)
 
+    # Refine: recover (ti, tj) inside each winner's tbl-lag block.  Fully
+    # batched — a sequential per-row map costs ~2 ms/row on a real chip
+    # (it dominated the whole arc scan at 64 rows), and a vmapped cond
+    # selects both branches anyway.  A fori_loop over the tbl lags keeps
+    # memory at two [B, npad] accumulators instead of [B, tbl, npad];
+    # the elementwise running max keeps the SMALLEST lag per position, and
+    # the final per-row argmax takes the first max position — this matches
+    # the flat lag-major argmax except when the exact same float bss
+    # recurs at two (lag, pos) pairs (the documented arc-scan tie caveat).
     pos = jnp.arange(npad)
+    b0c = jnp.maximum(bl0, 0)
+    hit = bl0 >= 0
 
-    def refine_one(args):
-        csr, cs2r, nn, lh, b0, t0, j0 = args
+    def run_refine():
+        base = jax.vmap(
+            lambda r, s: lax.dynamic_slice(r, (s,), (npad + tbl,)))(cs2,
+                                                                    b0c)
 
-        def hit(_):
-            lags = b0 + jnp.arange(tbl)
-            lag_ok = (lags >= al0) & (lags <= lh)
-            base = lax.dynamic_slice(cs2r, (b0,), (npad + tbl,))
-            rows = jnp.stack([lax.slice_in_dim(base, k, k + npad)
-                              for k in range(tbl)])
-            d = rows - csr[None, :]
-            ok = lag_ok[:, None] & (pos[None, :] + lags[:, None] <= nn - 1)
-            nnf = csr.dtype.type(1) * nn
-            lf = jnp.maximum(jnp.where(lag_ok, lags, 1), 1
-                             ).astype(csr.dtype)
-            w = (nnf / (lf * (nnf - lf)))[:, None]
-            bss = jnp.where(ok, w * d * d, -1.0)
-            flat = jnp.argmax(bss)
-            bi = (flat % npad).astype(jnp.int32)
-            return bi + 1, bi + lags[flat // npad].astype(jnp.int32) + 1
+        def rbody(k, carry):
+            val, lagk = carry
+            lag = b0c + k                                 # [B]
+            lag_ok = (lag >= al0) & (lag <= lag_hi)
+            win = lax.dynamic_slice_in_dim(base, k, npad, axis=1)
+            d = win - cs_mat
+            ok = lag_ok[:, None] & (pos[None, :] + lag[:, None]
+                                    <= n[:, None] - 1)
+            lf = jnp.maximum(lag, 1).astype(cs_mat.dtype)
+            w = (nf / (lf * (nf - lf)))[:, None]
+            v = jnp.where(ok, w * d * d, -1.0)
+            upd = v > val
+            return jnp.where(upd, v, val), jnp.where(upd, k, lagk)
 
-        return lax.cond(b0 >= 0, hit, lambda _: (t0, j0), None)
+        val0 = jnp.full((B, npad), -1.0, cs_mat.dtype)
+        val, lagk = lax.fori_loop(0, tbl, rbody,
+                                  (val0, jnp.zeros((B, npad), jnp.int32)))
+        flat_i = jnp.argmax(val, axis=1).astype(jnp.int32)
+        sel_lag = b0c + jnp.take_along_axis(lagk, flat_i[:, None],
+                                            axis=1)[:, 0]
+        return (jnp.where(hit, flat_i + 1, ti0),
+                jnp.where(hit, flat_i + sel_lag + 1, tj0))
 
-    ti, tj = lax.map(refine_one, (cs_mat, cs2, n, lag_hi, bl0, ti0, tj0))
+    # no row beat its extrema seed (common for all-pruned / zeroed tier
+    # batches): the seed locations are already exact, skip the refine
+    ti, tj = lax.cond(jnp.any(hit), run_refine, lambda: (ti0, tj0))
     tssv = jnp.where(tss <= best + 1e-4, best + 1.0, tss)
     t2 = best / ((tssv - best) / jnp.maximum(nf - 2.0, 1.0))
     return t2, ti, tj

@@ -27,9 +27,10 @@ Device control-flow design:
     ``np_i >= sbdry[k-1]`` (accept) decides; reject wins exact ties
     because the reference checks it first.
   * Split-location edge tests (ChangePoint.cs:359-398, TPermP) draw their
-    m1-subsets as the first m1 entries of device permutations — the same
-    distribution as the host's argpartition draw — and stop early as soon
-    as the rejection count can no longer come back under alpha*n_perm.
+    m1-subsets as the m1 smallest of iid uint32 keys (found by threshold
+    binary search, no sort) — exactly the uniform-subset distribution of
+    the host's argpartition draw — and stop early as soon as the
+    rejection count can no longer come back under alpha*n_perm.
   * Permutation sorts run in a small-width tier (Tmax/8) when the segment
     fits — the [P, Tmax] sort is the single most expensive op in the
     recursion and most walking segments are far shorter than Tmax.
@@ -111,11 +112,17 @@ def _seg_keys(key0, seg_c, seg_lo, n):
 # ---------------------------------------------------------------------------
 
 def _tiers(Tmax: int) -> list[int]:
-    """Ascending permutation-sort width ladder: the [P, W] pair sort is
-    the most expensive op in the recursion and scales with W, so walking
-    segments run at the smallest power-of-4 tier that holds them."""
-    out = sorted({max(1024, Tmax // 16), max(1024, Tmax // 4), Tmax})
-    return out
+    """Ascending width ladder (powers of two down to 1024): the [P, W]
+    permutation sort and the dense arc sweep both scale with W, so every
+    segment runs at the smallest tier that holds it.  A pow-2 ladder
+    wastes at most 2x width (the old pow-4 ladder cost a 5k-bin child a
+    16k-wide sort, 3x its need)."""
+    out = {Tmax}
+    w = Tmax // 2
+    while w >= 1024:
+        out.add(w)
+        w //= 2
+    return sorted(out)
 
 
 def _tiered(nn, Tmax, make_fn):
@@ -182,12 +189,9 @@ def _edge_tests(x, n, i1, i2, test_both, keys, alpha, n_perm, Tmax):
          jax.vmap(lambda k: jax.random.fold_in(k, 7778))(keys)])
 
     x2 = jnp.pad(x, ((0, 0), (0, Tmax)))
-
-    def rowshift(args):
-        xr, off = args
-        return lax.dynamic_slice(xr, (off,), (Tmax,))
-
-    xe2 = lax.map(rowshift, (x2, i1.astype(jnp.int32)))
+    # batched shift (a sequential per-row lax.map costs ~50 us/row/level)
+    xe2 = jax.vmap(lambda xr, off: lax.dynamic_slice(xr, (off,), (Tmax,)))(
+        x2, i1.astype(jnp.int32))
     pos = jnp.arange(Tmax)[None, :]
     valid = pos < wn[:, None]
     xw = jnp.where(valid, jnp.concatenate([x, xe2]), 0.0)
@@ -211,13 +215,41 @@ def _edge_tests(x, n, i1, i2, test_both, keys, alpha, n_perm, Tmax):
     limit = alpha * n_perm
 
     def chunk_counts(args):
+        # Sort-free m1-subset sums: only the SUM over a uniform random
+        # m1-subset matters, and the m1 smallest of iid uint32 keys form
+        # exactly that subset — so find the m1-th order statistic by
+        # binary search over the key space (32 masked count passes, ~6x
+        # cheaper than the [P, W] bitonic sort the permutation draw paid)
+        # and sum under the threshold.  Key ties (P ~ n/2^32 per draw)
+        # resolve by index via one cumsum — the subset stays exactly
+        # uniform by key-assignment symmetry.
         xr, nn, mm, key, live = args
 
         def stats_at(npad):
             def go():
-                px = _device_perms(key, xr[:npad], nn, npad, P_CHUNK)
-                csel = jnp.arange(npad)[None, :] < mm
-                return jnp.sum(jnp.where(csel, px, 0.0), axis=1)
+                real = jnp.arange(npad) < nn
+                u = jax.random.bits(key, (P_CHUNK, npad), dtype=jnp.uint32)
+                u = jnp.where(real[None, :], u, jnp.uint32(0xFFFFFFFF))
+
+                def sbody(_, lohi):
+                    lo, hi = lohi
+                    mid = lo + (hi - lo) // 2
+                    c = jnp.sum((u <= mid[:, None]).astype(jnp.int32),
+                                axis=1)
+                    ge = c >= mm
+                    return (jnp.where(ge, lo, mid + 1),
+                            jnp.where(ge, mid, hi))
+
+                lo0 = jnp.zeros(P_CHUNK, jnp.uint32)
+                hi0 = jnp.full(P_CHUNK, 0xFFFFFFFF, jnp.uint32)
+                _lo, tau = lax.fori_loop(0, 32, sbody, (lo0, hi0))
+                less = u < tau[:, None]
+                k_t = mm - jnp.sum(less.astype(jnp.int32), axis=1)
+                tie = u == tau[:, None]
+                cum = jnp.cumsum(tie.astype(jnp.int32), axis=1)
+                pick = less | (tie & (cum <= k_t[:, None]))
+                return jnp.sum(jnp.where(pick, xr[:npad][None, :], 0.0),
+                               axis=1)
             return go
 
         zeros = lambda: jnp.zeros(P_CHUNK, jnp.float32)
@@ -333,14 +365,27 @@ def _mega_recurse(contigs, n_c, sbdry, key0, alpha, *, S, Tmax,
             for w in _tiers(Tmax):
                 in_tier = analyzable & (n_eff <= w) & (n_eff > prev)
                 prev = w
-                cs_t = jnp.where(in_tier[:, None], cs[:, :w], 0.0)
-                n_t = jnp.where(in_tier, n_eff, 2)
-                tss_t = jnp.where(in_tier, tss, 0.0)
-                r0, r1, r2 = _tmax_batch_pallas(cs_t, n_t, tss_t, w, al0,
-                                                interpret)
+
+                def run_tier(w=w, in_tier=in_tier):
+                    cs_t = jnp.where(in_tier[:, None], cs[:, :w], 0.0)
+                    n_t = jnp.where(in_tier, n_eff, 2)
+                    tss_t = jnp.where(in_tier, tss, 0.0)
+                    r0, r1, r2 = _tmax_batch_pallas(cs_t, n_t, tss_t, w,
+                                                    al0, interpret)
+                    return (r0, r1.astype(jnp.int32),
+                            r2.astype(jnp.int32))
+
+                # empty tiers skip the whole sweep+refine dispatch (at the
+                # first level every row sits in the top tier; deeper
+                # levels rarely span more than two tiers)
+                r0, r1, r2 = lax.cond(
+                    jnp.any(in_tier), run_tier,
+                    lambda: (jnp.zeros(W, jnp.float32),
+                             jnp.ones(W, jnp.int32),
+                             jnp.full(W, 2, jnp.int32)))
                 t2 = jnp.where(in_tier, r0, t2)
-                ti = jnp.where(in_tier, r1.astype(jnp.int32), ti)
-                tj = jnp.where(in_tier, r2.astype(jnp.int32), tj)
+                ti = jnp.where(in_tier, r1, ti)
+                tj = jnp.where(in_tier, r2, tj)
         else:
             tb = _tb_for(Tmax)
 
@@ -407,8 +452,14 @@ def _mega_recurse(contigs, n_c, sbdry, key0, alpha, *, S, Tmax,
         at_end = tj >= n          # i2 == n: keep split 1 untested
         at_start = ti <= 0        # i1 == 0: keep split 2 untested
         test_both = accepted & ~at_end & ~at_start
-        keep1t, keep2t, echunks = _edge_tests(
-            x, n, ti, tj, test_both, keys, alpha, n_perm, Tmax)
+        # levels with no interior split skip the whole edge-test setup
+        # (its gathers/sums run even when every row quick-accepts)
+        keep1t, keep2t, echunks = lax.cond(
+            jnp.any(test_both),
+            lambda: _edge_tests(x, n, ti, tj, test_both, keys, alpha,
+                                n_perm, Tmax),
+            lambda: (jnp.zeros(W, bool), jnp.zeros(W, bool),
+                     jnp.asarray(0, jnp.int32)))
         keep1 = jnp.where(test_both, keep1t, at_end & ~at_start)
         keep2 = jnp.where(test_both, keep2t, at_start & ~at_end)
         split1 = accepted & keep1
@@ -455,7 +506,12 @@ def _mega_recurse(contigs, n_c, sbdry, key0, alpha, *, S, Tmax,
                                       jnp.asarray(0, jnp.int32)))
     seg_c, seg_lo, seg_hi, pending, nseg, overflow, level, wch, ech = out
     overflow = overflow | (level >= _MAX_LEVELS)
-    return seg_c, seg_lo, seg_hi, nseg, overflow, level, wch, ech
+    # ONE packed int32 result: a tuple fetch pays one tunnel RTT per
+    # leaf (~25 ms each on a remote session); this is the engine's single
+    # d2h transfer, keep it single
+    return jnp.concatenate([
+        seg_c, seg_lo, seg_hi,
+        jnp.stack([nseg, overflow.astype(jnp.int32), level, wch, ech])])
 
 
 # ---------------------------------------------------------------------------
@@ -500,10 +556,15 @@ def run_cbs_mega(
     Tmax = _pow2(max_len, floor=1024)
     S = _pow2(max(64, 4 * C))
     sbdry = _cbs.compute_boundary(n_perm, alpha, _cbs.DEFAULT_ETA)
-    finite = {k: np.asarray(v, np.float64)[np.isfinite(v)]
-              for k, v in coverage_by_contig.items()}
-    tsd = float(np.sqrt(_cbs.trimmed_variance(finite))) \
-        if any(len(v) for v in finite.values()) else 0.0
+    if undo_method == "sdundo":
+        # the trimmed genome SD only feeds the sdundo pass; its host sort
+        # of every diff costs ~9 ms at bench scale, skip it otherwise
+        finite = {k: np.asarray(v, np.float64)[np.isfinite(v)]
+                  for k, v in coverage_by_contig.items()}
+        tsd = float(np.sqrt(_cbs.trimmed_variance(finite))) \
+            if any(len(v) for v in finite.values()) else 0.0
+    else:
+        tsd = 0.0
 
     mat = np.zeros((C, Tmax), np.float32)
     n_c = np.zeros(C, np.int32)
@@ -511,15 +572,16 @@ def run_cbs_mega(
         mat[i, : len(rows[c])] = rows[c]
         n_c[i] = len(rows[c])
 
-    out = _mega_recurse(
+    packed = jax.device_get(_mega_recurse(
         jnp.asarray(mat), jnp.asarray(n_c), jnp.asarray(sbdry, jnp.int32),
         jax.random.PRNGKey(seed), jnp.asarray(alpha, jnp.float32),
         S=S, Tmax=Tmax, al0=min_width, kmax=kmax,
         n_min=n_min if p_method == "hybrid" else (1 << 30),
         n_grid=100, n_perm=n_perm,
-        pallas_scan=_use_pallas_scan(), interpret=_interpret())
-    seg_c, seg_lo, seg_hi, nseg, overflow, _level, _wch, _ech = \
-        jax.device_get(out)
+        pallas_scan=_use_pallas_scan(), interpret=_interpret()))
+    seg_c, seg_lo, seg_hi = (packed[:S], packed[S: 2 * S],
+                             packed[2 * S: 3 * S])
+    nseg, overflow = packed[3 * S], packed[3 * S + 1]
     if bool(overflow):
         return None
 
