@@ -167,6 +167,22 @@ def test_small_pedigree_end_to_end(reference_dir, tmp_path):
         assert len(lines) > 1 and all(
             len(l.split("\t")) == 4 for l in lines[1:])
 
+    # Score-distribution goldens (round-4 missing #3): QS and de novo DQ
+    # of every proband record pinned exactly on this deterministic
+    # fixture.  The pedigree joint likelihood (VariantCaller.cs:60-67),
+    # the conditional de novo marginal (CanvasPedigreeCaller.cs:467-483),
+    # and the x2 Manta scaling all feed these values — calibration drift
+    # in any of them moves the numbers.
+    with gzip.open(out_vcf, "rt") as f:
+        rows = [l.rstrip("\n").split("\t") for l in f
+                if not l.startswith("#")]
+    got_scores = []
+    for r in rows:
+        fmt = r[8].split(":")
+        pro = dict(zip(fmt, r[11].split(":")))
+        got_scores.append((r[0], int(r[1]), pro.get("QS"), pro.get("DQ")))
+    assert got_scores == GOLDEN_PROBAND_SCORES, got_scores
+
 
 def test_small_pedigree_with_common_cnvs(reference_dir, tmp_path):
     """A common-CNV bed matching a shared event forces its boundaries."""
@@ -702,3 +718,15 @@ def test_two_process_distributed_run_matches_single(reference_dir, tmp_path):
     for i in range(2):
         got = strip(gzip.open(tmp_path / f"out_p{i}" / "dist_CNV.vcf.gz").read())
         assert got == ref, f"process {i} VCF differs from single-process run"
+
+
+# QS/DQ of each proband record in test_small_pedigree_end_to_end's fixed
+# fixture; update only with an explanation of what moved the scores.
+GOLDEN_PROBAND_SCORES = [
+    ('chr1', 1, '18.07', '.'),
+    ('chr1', 80181, '19.81', '.'),       # inherited gain: QS only, no DQ
+    ('chr1', 139525, '18.07', '.'),
+    ('chr2', 1, '18.07', '.'),
+    ('chr2', 49830, '32.58', '26.00'),   # de novo loss: DQ above Manta 20
+    ('chr2', 110533, '18.07', '.'),
+]
