@@ -332,7 +332,12 @@ def hedged_fetch(fetch_fn, fallback_fn, grace: float | None = None,
         local_backend = jax.default_backend() == "cpu"
     except Exception:  # pragma: no cover
         local_backend = True
-    if local_backend:
+    import os as _os
+
+    if local_backend and _os.environ.get("CANVAS_TPU_FORCE_HEDGE") != "1":
+        # CPU fetches are local memory reads — no RPC to hedge against.
+        # CANVAS_TPU_FORCE_HEDGE=1 exercises the full hedge machinery on
+        # the CPU backend (fault-injection tests).
         return fetch_fn()
 
     import sys

@@ -904,6 +904,7 @@ def _run_cbs_host(coverage_by_contig, alpha, n_perm, undo_method, seed):
 
         args = [(cov, s, alpha, n_perm, tsd, undo_method, sbdry)
                 for _name, cov, s in items]
+        total_bins = sum(len(np.asarray(cov)) for _n, cov, _s in items)
         try:
             with warnings.catch_warnings():
                 # Python 3.12 DeprecationWarning for fork-with-threads;
@@ -911,13 +912,21 @@ def _run_cbs_host(coverage_by_contig, alpha, n_perm, undo_method, seed):
                 warnings.filterwarnings(
                     "ignore", category=DeprecationWarning,
                     message=".*fork.*")
-                with mp.get_context("fork").Pool(workers) as pool:
+                with mp.get_context("fork").Pool(
+                        workers, initializer=_mark_pool_worker) as pool:
                     pool.map_async(_host_cbs_canary, range(workers)).get(
                         timeout=_HOST_CBS_CANARY_TIMEOUT_S)
-                    results = pool.starmap(_host_cbs_one, args)
+                    # end-to-end watchdog: the canary only catches a child
+                    # wedged AT FORK; a lock acquired between canary and
+                    # work can still deadlock mid-map, so the real work
+                    # runs under a generous size-scaled timeout — expiry
+                    # terminates the pool (context manager) and the
+                    # bit-identical serial path below takes over.
+                    results = pool.starmap_async(_host_cbs_one, args).get(
+                        timeout=_host_cbs_pool_timeout(total_bins))
             return {name: lengths
                     for (name, _c, _s), lengths in zip(items, results)}
-        except Exception:   # fork/pickle/canary-timeout -> serial path
+        except Exception:   # fork/pickle/canary/watchdog -> serial path
             pass
     return {name: _host_cbs_one(cov, s, alpha, n_perm, tsd, undo_method,
                                 sbdry)
@@ -934,6 +943,32 @@ _HOST_CBS_CANARY_TIMEOUT_S = 30.0
 def _host_cbs_canary(i: int) -> int:
     """Trivial liveness probe run by every pool worker before real work."""
     return i
+
+
+# True only inside forked pool workers (set by the pool initializer);
+# lets the fault-injection hook below hang CHILDREN without hanging the
+# serial fallback that runs in the parent.
+_IN_POOL_WORKER = False
+
+
+def _mark_pool_worker() -> None:
+    global _IN_POOL_WORKER
+    _IN_POOL_WORKER = True
+
+
+def _host_cbs_pool_timeout(total_bins: int) -> float:
+    """Watchdog for the pool's real work: generous (2 ms/bin, >= 300 s —
+    the host path does ~50k-1M bins/s, so a healthy run finishes at
+    >= 25x margin), overridable via CANVAS_TPU_CBS_POOL_TIMEOUT_S."""
+    import os
+
+    v = os.environ.get("CANVAS_TPU_CBS_POOL_TIMEOUT_S")
+    if v is not None:
+        try:
+            return max(0.1, float(v))
+        except ValueError:
+            pass
+    return max(300.0, 2e-3 * total_bins)
 
 
 def _host_cbs_workers(n_contigs: int) -> int:
@@ -955,6 +990,16 @@ def _host_cbs_workers(n_contigs: int) -> int:
 def _host_cbs_one(cov, contig_seed: int, alpha: float, n_perm: int,
                   tsd: float, undo_method: str,
                   sbdry: np.ndarray) -> np.ndarray:
+    import os
+
+    hang = os.environ.get("CANVAS_TPU_TEST_CBS_CHILD_HANG_S")
+    if hang and _IN_POOL_WORKER:
+        # deterministic fault injection: simulate a child deadlocked
+        # MID-WORK (after the canary passed); only pool workers hang, so
+        # the serial fallback in the parent stays healthy
+        import time
+
+        time.sleep(float(hang))
     rng = np.random.default_rng(contig_seed)
     lengths, _ = change_points(
         cov, sbdry, rng, alpha=alpha, n_perm=n_perm,
