@@ -126,7 +126,12 @@ def bench_cbs():
 
 
 def bench_somatic_grid():
-    """Device purity/ploidy grid: models/sec over a WGS-scale segment set."""
+    """Device purity/ploidy grid: models/sec over a reference-scale
+    segment set (5,000 usable segments -- the upper end of what a noisy
+    60x tumor produces after partitioning; SomaticCaller.cs:1899-1933
+    iterates this set once per model).  The [chunk, N, P] distance
+    tensor is HBM-bounded by evaluate_grid_device's adaptive chunking,
+    so segment count scales without recompiles or OOM."""
     from canvas_tpu.models import somatic as som
     from canvas_tpu.models import somatic_grid as sg
     from canvas_tpu.models.segment_model import Segment
@@ -134,7 +139,7 @@ def bench_somatic_grid():
     rng = np.random.default_rng(2)
     infos = []
     pos = 0
-    for i in range(600):
+    for i in range(5000):
         length = int(rng.integers(100_000, 3_000_000))
         seg = Segment("chr1", pos, pos + length,
                       rng.normal(100, 10, size=40).astype(np.float32))
@@ -334,6 +339,10 @@ def main():
         "cbs_engine": cbs_engine,
         "somatic_grid_models_per_sec": round(grid_models / grid_dt, 1),
         "somatic_grid_segments": grid_segs,
+        # scale-invariant form: work is O(models x segments), so this is
+        # the number to compare across rounds that benched different N
+        "somatic_grid_seg_models_per_sec": round(
+            grid_models * grid_segs / grid_dt, 1),
     }
     if scaling:
         import os as _os

