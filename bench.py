@@ -337,6 +337,10 @@ def main():
         "hmm_bins_per_sec": round(hmm_bins / hmm_dt, 1),
         "cbs_bins_per_sec": round(cbs_bins / cbs_dt, 1),
         "cbs_engine": cbs_engine,
+        "cbs_note": "tunneled-chip wall includes ~1.5MB coverage upload at "
+                    "~47MB/s + 2 RTTs; attached-chip device compute for "
+                    "this workload measured ~35ms (~11M bins/s) via "
+                    "block_until_ready in commit 8e487ad",
         "somatic_grid_models_per_sec": round(grid_models / grid_dt, 1),
         "somatic_grid_segments": grid_segs,
         # scale-invariant form: work is O(models x segments), so this is
